@@ -1,0 +1,157 @@
+"""PointNet++ backbone: 4 set-abstraction stages + 2 feature-propagation stages.
+
+TPU-first redesign of reference models/backbone.py + pointnet2_modules.py:
+  * channels-last layout — the SharedMLP over (B, npoint, nsample, C) maps to
+    MXU matmuls with nsample on the sublane axis;
+  * all shapes static; the SA pipeline is FPS -> gather -> ball query ->
+    group -> center/normalize -> MLP -> max-pool over samples
+    (PointnetSAModuleVotes, pointnet2_modules.py:164-272);
+  * FP stages are 3-NN inverse-distance interpolation + skip concat + MLP
+    (PointnetFPModule, pointnet2_modules.py:356-416).
+
+Output contract (reference backbone.py:78-131): 256-d features on the 1024
+sa2 seeds; seed indices into the input cloud are sa1_inds[:, :1024].
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from graspnet_tpu import ops
+from graspnet_tpu.config import GraspNetConfig, SAConfig
+from graspnet_tpu.nn import layers as nn
+
+
+def init_backbone(key: jax.Array, cfg: GraspNetConfig) -> Dict[str, Any]:
+    ks = jax.random.split(key, 6)
+    return {
+        "sa1": {"mlp": nn.shared_mlp_init(ks[0], cfg.sa1.mlp)},
+        "sa2": {"mlp": nn.shared_mlp_init(ks[1], cfg.sa2.mlp)},
+        "sa3": {"mlp": nn.shared_mlp_init(ks[2], cfg.sa3.mlp)},
+        "sa4": {"mlp": nn.shared_mlp_init(ks[3], cfg.sa4.mlp)},
+        "fp1": {"mlp": nn.shared_mlp_init(ks[4], cfg.fp1_mlp)},
+        "fp2": {"mlp": nn.shared_mlp_init(ks[5], cfg.fp2_mlp)},
+    }
+
+
+def _sa_stage(
+    params: Dict[str, Any],
+    sa: SAConfig,
+    xyz: jax.Array,
+    features: jax.Array | None,
+    *,
+    train: bool,
+    eps: float,
+):
+    """One set-abstraction stage.
+
+    Args:
+      xyz: (B, N, 3); features: (B, N, C) or None.
+
+    Returns:
+      new_xyz (B, npoint, 3), new_features (B, npoint, mlp[-1]), fps indices
+      (B, npoint), bn batch stats (train only).
+    """
+    inds = ops.furthest_point_sample(xyz, sa.npoint)
+    new_xyz = ops.gather_points(xyz, inds)
+    idx = ops.ball_query(xyz, new_xyz, sa.radius, sa.nsample)
+    grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
+    if sa.normalize_xyz:
+        grouped_xyz = grouped_xyz / sa.radius
+    if features is not None:
+        grouped_feat = ops.group_points(features, idx)
+        grouped = jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
+    else:
+        grouped = grouped_xyz
+    out, stats = nn.shared_mlp(params["mlp"], grouped, train=train, eps=eps)
+    pooled = jnp.max(out, axis=2)  # max over nsample
+    return new_xyz, pooled, inds, stats
+
+
+def _fp_stage(
+    params: Dict[str, Any],
+    unknown_xyz: jax.Array,
+    known_xyz: jax.Array,
+    unknown_feat: jax.Array,
+    known_feat: jax.Array,
+    *,
+    train: bool,
+    eps: float,
+):
+    """Feature propagation: 3-NN inverse-distance interp + skip concat + MLP."""
+    dist, idx = ops.three_nn(unknown_xyz, known_xyz)
+    dist_recip = 1.0 / (dist + 1e-8)
+    norm = jnp.sum(dist_recip, axis=2, keepdims=True)
+    weight = dist_recip / norm
+    interp = ops.three_interpolate(known_feat, idx, weight)
+    feat = jnp.concatenate([interp, unknown_feat], axis=-1)
+    out, stats = nn.shared_mlp(params["mlp"], feat, train=train, eps=eps)
+    return out, stats
+
+
+def backbone_forward(
+    params: Dict[str, Any],
+    pointcloud: jax.Array,
+    cfg: GraspNetConfig,
+    *,
+    train: bool = False,
+) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
+    """Run the backbone.
+
+    Args:
+      pointcloud: (B, N, 3 + input_feature_dim).
+
+    Returns:
+      seed_features (B, num_seed, 256), seed_xyz (B, num_seed, 3), and an
+      end_points dict carrying intermediate tensors + (train) bn stats.
+    """
+    eps = cfg.bn_eps
+    xyz = pointcloud[..., :3]
+    features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
+    end_points: Dict[str, Any] = {"input_xyz": xyz, "input_features": features}
+    bn_stats: Dict[str, Any] = {}
+
+    sa1_xyz, sa1_feat, sa1_inds, st = _sa_stage(
+        params["sa1"], cfg.sa1, xyz, features, train=train, eps=eps
+    )
+    bn_stats["sa1"] = st
+    sa2_xyz, sa2_feat, sa2_inds, st = _sa_stage(
+        params["sa2"], cfg.sa2, sa1_xyz, sa1_feat, train=train, eps=eps
+    )
+    bn_stats["sa2"] = st
+    sa3_xyz, sa3_feat, sa3_inds, st = _sa_stage(
+        params["sa3"], cfg.sa3, sa2_xyz, sa2_feat, train=train, eps=eps
+    )
+    bn_stats["sa3"] = st
+    sa4_xyz, sa4_feat, sa4_inds, st = _sa_stage(
+        params["sa4"], cfg.sa4, sa3_xyz, sa3_feat, train=train, eps=eps
+    )
+    bn_stats["sa4"] = st
+
+    fp1_feat, st = _fp_stage(
+        params["fp1"], sa3_xyz, sa4_xyz, sa3_feat, sa4_feat, train=train, eps=eps
+    )
+    bn_stats["fp1"] = st
+    fp2_feat, st = _fp_stage(
+        params["fp2"], sa2_xyz, sa3_xyz, sa2_feat, fp1_feat, train=train, eps=eps
+    )
+    bn_stats["fp2"] = st
+
+    num_seed = sa2_xyz.shape[1]
+    end_points.update(
+        {
+            "sa1_xyz": sa1_xyz,
+            "sa1_inds": sa1_inds,
+            "sa2_xyz": sa2_xyz,
+            "fp2_features": fp2_feat,
+            "fp2_xyz": sa2_xyz,
+            # seed indices into the original cloud (reference backbone.py:127-129)
+            "fp2_inds": sa1_inds[:, :num_seed],
+        }
+    )
+    if train:
+        end_points["bn_stats/backbone"] = bn_stats
+    return fp2_feat, sa2_xyz, end_points
