@@ -1,0 +1,141 @@
+"""Model-free collision detection for grasp candidates.
+
+Re-implementation of reference utils/collision_detector.py with the compute
+path in JAX so the (M grasps x N points) mask reductions run on TPU fused with
+the decode rollout, while keeping a numpy API for host callers.
+
+Geometry (collision_detector.py:75-112): scene points are transformed into
+each gripper frame (targets = (points - T) @ R), then boolean volumes are
+tested for the left/right finger, the bottom plate, and the approach-shift
+corridor; a grasp collides when inside-count / analytic-voxel-volume exceeds
+the threshold.  finger_width=0.01, finger_length=0.06 fixed, as in reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graspnet_tpu.postproc.voxel import voxel_down_sample
+
+FINGER_WIDTH = 0.01
+FINGER_LENGTH = 0.06
+
+
+@functools.partial(jax.jit, static_argnames=("approach_dist", "voxel_size"))
+def collision_ious(
+    scene_points: jax.Array,
+    translations: jax.Array,
+    rotations: jax.Array,
+    heights: jax.Array,
+    depths: jax.Array,
+    widths: jax.Array,
+    *,
+    approach_dist: float = 0.03,
+    voxel_size: float = 0.005,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-grasp collision IoUs against a (already downsampled) scene cloud.
+
+    Args:
+      scene_points: (N, 3) voxel-downsampled scene.
+      translations: (M, 3); rotations: (M, 3, 3); heights/depths/widths: (M,).
+
+    Returns:
+      global_iou (M,), part_ious (M, 4) [left,right,bottom,shifting],
+      inner_count (M,) points inside the gripper volume (for empty-grasp).
+    """
+    approach_dist = max(approach_dist, FINGER_WIDTH)
+    # (M, N, 3) gripper-frame coordinates
+    targets = jnp.einsum(
+        "mnj,mjk->mnk", scene_points[None, :, :] - translations[:, None, :], rotations
+    )
+    h = heights[:, None]
+    d = depths[:, None]
+    w = widths[:, None]
+    tx, ty, tz = targets[..., 0], targets[..., 1], targets[..., 2]
+
+    mask1 = (tz > -h / 2) & (tz < h / 2)
+    mask2 = (tx > d - FINGER_LENGTH) & (tx < d)
+    mask3 = ty > -(w / 2 + FINGER_WIDTH)
+    mask4 = ty < -w / 2
+    mask5 = ty < (w / 2 + FINGER_WIDTH)
+    mask6 = ty > w / 2
+    mask7 = (tx <= d - FINGER_LENGTH) & (tx > d - FINGER_LENGTH - FINGER_WIDTH)
+    mask8 = (tx <= d - FINGER_LENGTH - FINGER_WIDTH) & (
+        tx > d - FINGER_LENGTH - FINGER_WIDTH - approach_dist
+    )
+
+    left = mask1 & mask2 & mask3 & mask4
+    right = mask1 & mask2 & mask5 & mask6
+    bottom = mask1 & mask3 & mask5 & mask7
+    shifting = mask1 & mask3 & mask5 & mask8
+    global_mask = left | right | bottom | shifting
+
+    v3 = voxel_size**3
+    lr_vol = (heights * FINGER_LENGTH * FINGER_WIDTH) / v3
+    bottom_vol = (heights * (widths + 2 * FINGER_WIDTH) * FINGER_WIDTH) / v3
+    shift_vol = (heights * (widths + 2 * FINGER_WIDTH) * approach_dist) / v3
+    volume = lr_vol * 2 + bottom_vol + shift_vol
+
+    global_iou = jnp.sum(global_mask, axis=1) / (volume + 1e-6)
+    part_ious = jnp.stack(
+        [
+            jnp.sum(left, axis=1) / (lr_vol + 1e-6),
+            jnp.sum(right, axis=1) / (lr_vol + 1e-6),
+            jnp.sum(bottom, axis=1) / (bottom_vol + 1e-6),
+            jnp.sum(shifting, axis=1) / (shift_vol + 1e-6),
+        ],
+        axis=1,
+    )
+    inner = mask1 & mask2 & (~mask4) & (~mask6)
+    return global_iou, part_ious, jnp.sum(inner, axis=1)
+
+
+class ModelFreeCollisionDetector:
+    """Drop-in equivalent of the reference detector (collision_detector.py:10)."""
+
+    def __init__(self, scene_points: np.ndarray, voxel_size: float = 0.005):
+        self.voxel_size = voxel_size
+        self.finger_width = FINGER_WIDTH
+        self.finger_length = FINGER_LENGTH
+        self.scene_points = voxel_down_sample(np.asarray(scene_points), voxel_size)
+
+    def detect(
+        self,
+        grasp_group,
+        approach_dist: float = 0.03,
+        collision_thresh: float = 0.05,
+        return_empty_grasp: bool = False,
+        empty_thresh: float = 0.01,
+        return_ious: bool = False,
+    ):
+        g = grasp_group.grasp_group_array
+        global_iou, part_ious, inner_count = jax.device_get(
+            collision_ious(
+                jnp.asarray(self.scene_points),
+                jnp.asarray(g[:, 13:16]),
+                jnp.asarray(g[:, 4:13].reshape(-1, 3, 3)),
+                jnp.asarray(g[:, 2]),
+                jnp.asarray(g[:, 3]),
+                jnp.asarray(g[:, 1]),
+                approach_dist=float(approach_dist),
+                voxel_size=float(self.voxel_size),
+            )
+        )
+        collision_mask = global_iou > collision_thresh
+        if not (return_empty_grasp or return_ious):
+            return collision_mask
+        ret = [collision_mask]
+        if return_empty_grasp:
+            heights, widths = g[:, 2], g[:, 1]
+            inner_vol = heights * self.finger_length * widths / (self.voxel_size**3)
+            ret.append(inner_count / inner_vol < empty_thresh)
+        if return_ious:
+            ret.append(
+                [global_iou, part_ious[:, 0], part_ious[:, 1], part_ious[:, 2], part_ious[:, 3]]
+            )
+        return ret

@@ -1,0 +1,126 @@
+"""Grasp containers: the 17-float row contract.
+
+Row layout (set by the reference decoder, models/graspnet.py:131-133, and
+consumed by graspnetAPI's GraspGroup):
+
+    [0]     score
+    [1]     width
+    [2]     height
+    [3]     depth
+    [4:13]  rotation matrix, row-major
+    [13:16] translation (grasp center)
+    [16]    object id
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+GRASP_ARRAY_LEN = 17
+
+
+class Grasp:
+    """A single grasp (one 17-float row)."""
+
+    def __init__(self, array: np.ndarray):
+        array = np.asarray(array, dtype=np.float32).reshape(-1)
+        assert array.shape == (GRASP_ARRAY_LEN,)
+        self.grasp_array = array
+
+    score = property(lambda self: float(self.grasp_array[0]))
+    width = property(lambda self: float(self.grasp_array[1]))
+    height = property(lambda self: float(self.grasp_array[2]))
+    depth = property(lambda self: float(self.grasp_array[3]))
+    rotation_matrix = property(lambda self: self.grasp_array[4:13].reshape(3, 3))
+    translation = property(lambda self: self.grasp_array[13:16])
+    object_id = property(lambda self: int(self.grasp_array[16]))
+
+    def to_matrix(self) -> np.ndarray:
+        """4x4 pose (rotation + translation)."""
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = self.rotation_matrix
+        T[:3, 3] = self.translation
+        return T
+
+    def __repr__(self):
+        return (
+            f"Grasp(score={self.score:.4f}, width={self.width:.4f}, "
+            f"depth={self.depth:.4f}, t={self.translation})"
+        )
+
+
+class GraspGroup:
+    """A set of grasps backed by an (M, 17) float32 array."""
+
+    def __init__(self, grasp_group_array: np.ndarray | None = None):
+        if grasp_group_array is None:
+            grasp_group_array = np.zeros((0, GRASP_ARRAY_LEN), dtype=np.float32)
+        arr = np.asarray(grasp_group_array, dtype=np.float32)
+        assert arr.ndim == 2 and arr.shape[1] == GRASP_ARRAY_LEN, arr.shape
+        self.grasp_group_array = arr
+
+    # ---- container protocol ----
+    def __len__(self):
+        return len(self.grasp_group_array)
+
+    def __getitem__(self, index):
+        if isinstance(index, int):
+            return Grasp(self.grasp_group_array[index])
+        return GraspGroup(self.grasp_group_array[index])
+
+    def __repr__(self):
+        return f"GraspGroup(n={len(self)})"
+
+    # ---- field views ----
+    scores = property(lambda self: self.grasp_group_array[:, 0])
+    widths = property(lambda self: self.grasp_group_array[:, 1])
+    heights = property(lambda self: self.grasp_group_array[:, 2])
+    depths = property(lambda self: self.grasp_group_array[:, 3])
+    object_ids = property(lambda self: self.grasp_group_array[:, 16])
+
+    @property
+    def rotation_matrices(self) -> np.ndarray:
+        return self.grasp_group_array[:, 4:13].reshape(-1, 3, 3)
+
+    @property
+    def translations(self) -> np.ndarray:
+        return self.grasp_group_array[:, 13:16]
+
+    # ---- ops ----
+    def add(self, other: "GraspGroup") -> "GraspGroup":
+        return GraspGroup(
+            np.concatenate([self.grasp_group_array, other.grasp_group_array], axis=0)
+        )
+
+    def sort_by_score(self, reverse: bool = False) -> "GraspGroup":
+        """Descending by default (graspnetAPI convention)."""
+        order = np.argsort(-self.grasp_group_array[:, 0], kind="stable")
+        if reverse:
+            order = order[::-1]
+        return GraspGroup(self.grasp_group_array[order])
+
+    def random_sample(self, numGrasp: int, rng: np.random.Generator | None = None) -> "GraspGroup":
+        rng = rng or np.random.default_rng()
+        idx = rng.choice(len(self), min(numGrasp, len(self)), replace=False)
+        return GraspGroup(self.grasp_group_array[idx])
+
+    def nms(
+        self,
+        translation_thresh: float = 0.03,
+        rotation_thresh: float = 30.0 / 180.0 * np.pi,
+    ) -> "GraspGroup":
+        """Greedy pose NMS (graspnetAPI GraspGroup.nms semantics)."""
+        from graspnet_tpu.postproc.nms import grasp_nms
+
+        keep = grasp_nms(
+            self.grasp_group_array, translation_thresh, rotation_thresh
+        )
+        return GraspGroup(self.grasp_group_array[keep])
+
+    # ---- IO ----
+    def save_npy(self, path: str) -> None:
+        np.save(path, self.grasp_group_array)
+
+    @staticmethod
+    def from_npy(path: str) -> "GraspGroup":
+        return GraspGroup(np.load(path))

@@ -1,0 +1,156 @@
+"""Post-processing tests: collision oracle parity, NMS properties, containers."""
+
+import numpy as np
+
+from graspnet_tpu.postproc import (
+    Grasp,
+    GraspGroup,
+    ModelFreeCollisionDetector,
+    grasp_nms,
+    voxel_down_sample,
+)
+from graspnet_tpu.models.geometry import batch_viewpoint_params_to_matrix
+
+import jax.numpy as jnp
+
+
+def collision_oracle(scene_points, g, approach_dist, voxel_size, collision_thresh):
+    """Numpy transcription of reference collision_detector.py:69-112."""
+    approach_dist = max(approach_dist, 0.01)
+    T = g[:, 13:16]
+    R = g[:, 4:13].reshape(-1, 3, 3)
+    heights = g[:, 2][:, None]
+    depths = g[:, 3][:, None]
+    widths = g[:, 1][:, None]
+    targets = scene_points[None, :, :] - T[:, None, :]
+    targets = np.matmul(targets, R)
+    fw, fl = 0.01, 0.06
+    mask1 = (targets[:, :, 2] > -heights / 2) & (targets[:, :, 2] < heights / 2)
+    mask2 = (targets[:, :, 0] > depths - fl) & (targets[:, :, 0] < depths)
+    mask3 = targets[:, :, 1] > -(widths / 2 + fw)
+    mask4 = targets[:, :, 1] < -widths / 2
+    mask5 = targets[:, :, 1] < (widths / 2 + fw)
+    mask6 = targets[:, :, 1] > widths / 2
+    mask7 = (targets[:, :, 0] <= depths - fl) & (targets[:, :, 0] > depths - fl - fw)
+    mask8 = (targets[:, :, 0] <= depths - fl - fw) & (
+        targets[:, :, 0] > depths - fl - fw - approach_dist
+    )
+    left = mask1 & mask2 & mask3 & mask4
+    right = mask1 & mask2 & mask5 & mask6
+    bottom = mask1 & mask3 & mask5 & mask7
+    shifting = mask1 & mask3 & mask5 & mask8
+    global_mask = left | right | bottom | shifting
+    lr_vol = (heights * fl * fw / voxel_size**3).reshape(-1)
+    b_vol = (heights * (widths + 2 * fw) * fw / voxel_size**3).reshape(-1)
+    s_vol = (heights * (widths + 2 * fw) * approach_dist / voxel_size**3).reshape(-1)
+    volume = lr_vol * 2 + b_vol + s_vol
+    global_iou = global_mask.sum(axis=1) / (volume + 1e-6)
+    return global_iou > collision_thresh, global_iou
+
+
+def random_grasps(rng, m):
+    towards = rng.normal(size=(m, 3)).astype(np.float32)
+    angles = rng.uniform(0, np.pi, size=m).astype(np.float32)
+    R = np.asarray(batch_viewpoint_params_to_matrix(jnp.asarray(towards), jnp.asarray(angles)))
+    g = np.zeros((m, 17), dtype=np.float32)
+    g[:, 0] = rng.uniform(0, 1, m)  # score
+    g[:, 1] = rng.uniform(0.02, 0.1, m)  # width
+    g[:, 2] = 0.02  # height
+    g[:, 3] = rng.uniform(0.01, 0.04, m)  # depth
+    g[:, 4:13] = R.reshape(m, 9)
+    g[:, 13:16] = rng.uniform(-0.2, 0.2, (m, 3))
+    g[:, 16] = -1
+    return g
+
+
+class TestCollision:
+    def test_matches_oracle(self, rng):
+        scene = rng.uniform(-0.3, 0.3, size=(2000, 3)).astype(np.float32)
+        g = random_grasps(rng, 32)
+        det = ModelFreeCollisionDetector(scene, voxel_size=0.01)
+        got = det.detect(GraspGroup(g), approach_dist=0.05, collision_thresh=0.01)
+        want, want_iou = collision_oracle(
+            det.scene_points, g, approach_dist=0.05, voxel_size=0.01, collision_thresh=0.01
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_ious_and_empty(self, rng):
+        scene = rng.uniform(-0.3, 0.3, size=(1500, 3)).astype(np.float32)
+        g = random_grasps(rng, 16)
+        det = ModelFreeCollisionDetector(scene, voxel_size=0.01)
+        mask, empty, ious = det.detect(
+            GraspGroup(g),
+            approach_dist=0.05,
+            collision_thresh=0.01,
+            return_empty_grasp=True,
+            return_ious=True,
+        )
+        _, want_iou = collision_oracle(det.scene_points, g, 0.05, 0.01, 0.01)
+        np.testing.assert_allclose(ious[0], want_iou, rtol=1e-5)
+        assert empty.shape == (16,) and empty.dtype == bool
+
+
+class TestVoxel:
+    def test_centroids(self):
+        pts = np.array(
+            [[0.0, 0.0, 0.0], [0.001, 0.001, 0.001], [0.1, 0.1, 0.1]], np.float32
+        )
+        out = voxel_down_sample(pts, 0.01)
+        assert out.shape == (2, 3)
+        # the two close points average
+        d = np.linalg.norm(out - np.array([0.0005, 0.0005, 0.0005]), axis=1)
+        assert d.min() < 1e-6
+
+    def test_reduces_density(self, rng):
+        pts = rng.uniform(0, 0.1, size=(5000, 3)).astype(np.float32)
+        out = voxel_down_sample(pts, 0.02)
+        assert 0 < len(out) <= 6**3
+
+
+class TestNMS:
+    def test_keeps_best_suppresses_near(self, rng):
+        g = random_grasps(rng, 8)
+        # make grasps 0 and 1 nearly identical, 0 stronger
+        g[1] = g[0]
+        g[1, 0] = g[0, 0] - 0.1
+        g[1, 13] += 0.001
+        keep = grasp_nms(g, translation_thresh=0.03, rotation_thresh=0.5)
+        assert 0 in keep and 1 not in keep
+
+    def test_distant_kept(self, rng):
+        g = random_grasps(rng, 2)
+        g[1, 13:16] = g[0, 13:16] + 1.0  # far away
+        keep = grasp_nms(g)
+        assert len(keep) == 2
+
+    def test_descending_scores(self, rng):
+        g = random_grasps(rng, 50)
+        keep = grasp_nms(g)
+        kept_scores = g[keep, 0]
+        assert np.all(np.diff(kept_scores) <= 1e-7)
+
+
+class TestContainers:
+    def test_grasp_group_fields(self, rng):
+        g = random_grasps(rng, 10)
+        gg = GraspGroup(g)
+        assert len(gg) == 10
+        np.testing.assert_array_equal(gg.scores, g[:, 0])
+        np.testing.assert_array_equal(gg.translations, g[:, 13:16])
+        assert gg.rotation_matrices.shape == (10, 3, 3)
+        top = gg.sort_by_score()
+        assert np.all(np.diff(top.scores) <= 1e-7)
+        sub = gg[np.array([1, 3, 5])]
+        assert len(sub) == 3
+        single = gg[0]
+        assert isinstance(single, Grasp)
+        T = single.to_matrix()
+        np.testing.assert_array_equal(T[:3, 3], g[0, 13:16])
+
+    def test_npy_roundtrip(self, rng, tmp_path):
+        g = random_grasps(rng, 5)
+        gg = GraspGroup(g)
+        path = str(tmp_path / "gg.npy")
+        gg.save_npy(path)
+        back = GraspGroup.from_npy(path)
+        np.testing.assert_array_equal(back.grasp_group_array, g)
