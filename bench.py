@@ -1,0 +1,62 @@
+"""Benchmark: single-frame grasp inference latency on the current backend.
+
+Prints ONE JSON line: frames/s for the full network+decode program at the
+reference operating point (20k-point cloud, 1024 seeds x 300 views x 12 angles
+x 4 depths).  vs_baseline is measured against the driver's 100 ms/frame
+north-star (BASELINE.md) since the reference publishes no latency numbers.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from graspnet_tpu.apps.pipeline import GraspPipeline
+    from graspnet_tpu.config import GraspNetConfig
+    from graspnet_tpu.data.camera import CameraInfo, create_point_cloud_from_depth_image
+
+    cfg = GraspNetConfig()
+    pipe = GraspPipeline(cfg=cfg, seed=0)
+    compile_s = pipe.warmup()
+
+    # Use the reference example frame when present, random cloud otherwise.
+    try:
+        from graspnet_tpu.apps.image_demo import load_frame
+
+        scene = load_frame("/root/reference/doc/example_data")
+        cloud = pipe.sample_cloud(scene)
+    except Exception:
+        cloud = np.random.default_rng(0).uniform(-0.5, 0.5, (cfg.num_point, 3)).astype(
+            np.float32
+        )
+
+    import jax.numpy as jnp
+
+    x = jnp.asarray(cloud, jnp.float32)[None]
+    # timed loop, p50 over repeats
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        jax.block_until_ready(pipe._infer(pipe.params, x))
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    frames_per_s = 1.0 / p50
+
+    result = {
+        "metric": "frames/s/chip (20k-pt cloud, full grasp decode)",
+        "value": round(frames_per_s, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_s / 10.0, 3),  # north-star: 10 fps (100 ms)
+        "p50_ms": round(p50 * 1000, 2),
+        "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Single-frame grasp inference pipeline.
+
+The shared skeleton of every reference demo/app (image_demo.py:84-273,
+demo_pointcloud.py, zividtest.py, the ROS nodes): cloud -> sample -> network
+-> decode -> (optional) collision filter -> sort -> NMS/top-K.  Here the
+network + decode run as one jitted program; collision IoUs run on device too.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graspnet_tpu import checkpoint
+from graspnet_tpu.config import GraspNetConfig
+from graspnet_tpu.models import graspnet_forward, init_graspnet, pred_decode
+from graspnet_tpu.postproc import GraspGroup, ModelFreeCollisionDetector
+
+
+@dataclasses.dataclass
+class PipelineTimings:
+    infer_s: float = 0.0
+    collision_s: float = 0.0
+
+
+class GraspPipeline:
+    """Loads weights once, compiles once, then serves frames."""
+
+    def __init__(
+        self,
+        params: Optional[Dict[str, Any]] = None,
+        cfg: GraspNetConfig = GraspNetConfig(),
+        checkpoint_path: Optional[str] = None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        if params is not None:
+            self.params = params
+        elif checkpoint_path is not None:
+            if checkpoint_path.endswith(".tar"):
+                self.params = checkpoint.load_torch_checkpoint(checkpoint_path)
+            else:
+                template = init_graspnet(jax.random.PRNGKey(seed), cfg)
+                self.params = checkpoint.restore(checkpoint_path, template)
+        else:
+            self.params = init_graspnet(jax.random.PRNGKey(seed), cfg)
+
+        @jax.jit
+        def _infer(params, cloud):
+            ep = graspnet_forward(params, cloud, cfg, train=False)
+            grasps, valid = pred_decode(ep, cfg)
+            return grasps, valid
+
+        self._infer = _infer
+        self.timings = PipelineTimings()
+
+    def warmup(self) -> float:
+        """Compile the inference program; returns compile wall time."""
+        dummy = jnp.zeros((1, self.cfg.num_point, 3), jnp.float32)
+        t0 = time.perf_counter()
+        jax.block_until_ready(self._infer(self.params, dummy))
+        return time.perf_counter() - t0
+
+    def sample_cloud(
+        self, cloud: np.ndarray, rng: Optional[np.random.Generator] = None
+    ) -> np.ndarray:
+        """Random-sample to num_point, padding with replacement when short
+        (reference graspnet_dataset.py:139-144 / image_demo.py)."""
+        rng = rng or np.random.default_rng(0)
+        n = self.cfg.num_point
+        if len(cloud) >= n:
+            idxs = rng.choice(len(cloud), n, replace=False)
+        else:
+            idxs = np.concatenate(
+                [np.arange(len(cloud)), rng.choice(len(cloud), n - len(cloud), replace=True)]
+            )
+        return cloud[idxs]
+
+    def get_grasps(self, cloud_sampled: np.ndarray) -> GraspGroup:
+        """Run the network on a (num_point, 3) cloud, return decoded grasps."""
+        t0 = time.perf_counter()
+        grasps, valid = self._infer(
+            self.params, jnp.asarray(cloud_sampled, jnp.float32)[None]
+        )
+        grasps, valid = jax.device_get((grasps, valid))
+        self.timings.infer_s = time.perf_counter() - t0
+        return GraspGroup(grasps[0][valid[0]])
+
+    def collision_filter(
+        self,
+        gg: GraspGroup,
+        scene_cloud: np.ndarray,
+        collision_thresh: float = 0.01,
+        voxel_size: float = 0.01,
+        approach_dist: float = 0.05,
+    ) -> GraspGroup:
+        t0 = time.perf_counter()
+        detector = ModelFreeCollisionDetector(scene_cloud, voxel_size=voxel_size)
+        mask = detector.detect(
+            gg, approach_dist=approach_dist, collision_thresh=collision_thresh
+        )
+        self.timings.collision_s = time.perf_counter() - t0
+        return gg[~mask]
+
+    def run(
+        self,
+        cloud_sampled: np.ndarray,
+        scene_cloud: Optional[np.ndarray] = None,
+        collision_thresh: float = -1.0,
+        nms: bool = True,
+        top_k: int = 50,
+    ) -> GraspGroup:
+        """Full frame pipeline. collision_thresh <= 0 skips the filter
+        (reference README.md:72 convention: -1 disables it)."""
+        gg = self.get_grasps(cloud_sampled)
+        if collision_thresh > 0 and scene_cloud is not None:
+            gg = self.collision_filter(gg, scene_cloud, collision_thresh)
+        gg = gg.sort_by_score()
+        if nms:
+            gg = gg.nms()
+        if top_k:
+            gg = gg[: top_k]
+        return gg
