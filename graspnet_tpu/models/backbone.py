@@ -45,17 +45,22 @@ def _sa_stage(
     *,
     train: bool,
     eps: float,
+    inds: jax.Array | None = None,
 ):
     """One set-abstraction stage.
 
     Args:
       xyz: (B, N, 3); features: (B, N, C) or None.
+      inds: optional precomputed FPS indices (B, npoint) — the training path
+        feeds host-precomputed seeds (FPS is parameter-independent), removing
+        the sequential FPS loop from the train step entirely.
 
     Returns:
       new_xyz (B, npoint, 3), new_features (B, npoint, mlp[-1]), fps indices
       (B, npoint), bn batch stats (train only).
     """
-    inds = ops.furthest_point_sample(xyz, sa.npoint)
+    if inds is None:
+        inds = ops.furthest_point_sample(xyz, sa.npoint)
     new_xyz = ops.gather_points(xyz, inds)
     idx = ops.ball_query(xyz, new_xyz, sa.radius, sa.nsample)
     grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
@@ -98,36 +103,44 @@ def backbone_forward(
     cfg: GraspNetConfig,
     *,
     train: bool = False,
+    sa_inds: Dict[str, jax.Array] | None = None,
 ) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
     """Run the backbone.
 
     Args:
       pointcloud: (B, N, 3 + input_feature_dim).
+      sa_inds: optional host-precomputed FPS chain {'sa1'..'sa4'}, each
+        (B, npoint) indices into the previous stage's points.
 
     Returns:
       seed_features (B, num_seed, 256), seed_xyz (B, num_seed, 3), and an
       end_points dict carrying intermediate tensors + (train) bn stats.
     """
     eps = cfg.bn_eps
+    sa_inds = sa_inds or {}
     xyz = pointcloud[..., :3]
     features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
     end_points: Dict[str, Any] = {"input_xyz": xyz, "input_features": features}
     bn_stats: Dict[str, Any] = {}
 
     sa1_xyz, sa1_feat, sa1_inds, st = _sa_stage(
-        params["sa1"], cfg.sa1, xyz, features, train=train, eps=eps
+        params["sa1"], cfg.sa1, xyz, features, train=train, eps=eps,
+        inds=sa_inds.get("sa1"),
     )
     bn_stats["sa1"] = st
     sa2_xyz, sa2_feat, sa2_inds, st = _sa_stage(
-        params["sa2"], cfg.sa2, sa1_xyz, sa1_feat, train=train, eps=eps
+        params["sa2"], cfg.sa2, sa1_xyz, sa1_feat, train=train, eps=eps,
+        inds=sa_inds.get("sa2"),
     )
     bn_stats["sa2"] = st
     sa3_xyz, sa3_feat, sa3_inds, st = _sa_stage(
-        params["sa3"], cfg.sa3, sa2_xyz, sa2_feat, train=train, eps=eps
+        params["sa3"], cfg.sa3, sa2_xyz, sa2_feat, train=train, eps=eps,
+        inds=sa_inds.get("sa3"),
     )
     bn_stats["sa3"] = st
     sa4_xyz, sa4_feat, sa4_inds, st = _sa_stage(
-        params["sa4"], cfg.sa4, sa3_xyz, sa3_feat, train=train, eps=eps
+        params["sa4"], cfg.sa4, sa3_xyz, sa3_feat, train=train, eps=eps,
+        inds=sa_inds.get("sa4"),
     )
     bn_stats["sa4"] = st
 

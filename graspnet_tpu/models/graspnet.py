@@ -47,13 +47,15 @@ def graspnet_forward(
     Args:
       point_clouds: (B, N, 3 + input_feature_dim).
       labels: padded grasp-label dict (training only), as produced by
-        graspnet_tpu.train.label_pipeline.pad_scene_labels.
+        graspnet_tpu.train.label_pipeline.build_scene_labels; may also carry
+        'sa_inds' with the host-precomputed FPS chain.
 
     Returns:
       end_points dict (see SURVEY.md §3.5 for the reference key contract).
     """
+    sa_inds = labels.get("sa_inds") if labels else None
     seed_features, seed_xyz, end_points = backbone_forward(
-        params["backbone"], point_clouds, cfg, train=train
+        params["backbone"], point_clouds, cfg, train=train, sa_inds=sa_inds
     )
     end_points["point_clouds"] = point_clouds
     end_points.update(

@@ -1,0 +1,5 @@
+"""Device-mesh / sharding helpers."""
+
+from graspnet_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+
+__all__ = ["make_mesh", "shard_batch", "replicate"]

@@ -1,0 +1,56 @@
+"""Mesh construction and sharding helpers.
+
+The reference has no distributed support at all (SURVEY.md §2.9: single
+cuda:0, no NCCL/MPI).  Here data parallelism is first-class: scenes shard
+across a 1-D 'data' mesh axis (one scene's cloud always stays on one chip),
+params replicate, and XLA inserts the psum/all-reduce collectives for the
+batch-mean loss, gradients, and batch-norm statistics automatically — giving
+exact global-batch sync-BN for free.
+
+A second 'candidate' axis is reserved for splitting the stage-2 candidate
+sweep (seeds x views x angles x depths) within a scene; see
+graspnet_tpu.parallel.candidate.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices: Optional[Sequence[Any]] = None,
+) -> Mesh:
+    """1-D (or reshaped N-D) mesh over the first n devices."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    if len(axis_names) == 1:
+        arr = np.array(devs)
+    else:
+        # fill trailing axes first; leading axis gets the remainder
+        trailing = 1
+        for _ in axis_names[1:]:
+            trailing *= 1
+        arr = np.array(devs).reshape((len(devs),) + (1,) * (len(axis_names) - 1))
+    return Mesh(arr, axis_names)
+
+
+def shard_batch(mesh: Mesh, tree: Any, axis: str = "data") -> Any:
+    """Place a host batch pytree with the leading axis sharded over `axis`."""
+    def put(x):
+        spec = P(axis, *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree (params / optimizer state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

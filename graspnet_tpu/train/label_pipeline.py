@@ -1,0 +1,237 @@
+"""Grasp-label pipeline: host-side padded construction + device-side processing.
+
+The reference builds training labels on the GPU inside the forward pass with
+a Python loop over scenes and objects (utils/label_generation.py:18-127) —
+unbatched, dynamic shapes, repeated for every epoch-step.  The TPU redesign
+splits the work:
+
+HOST (data workers, numpy — `build_scene_labels`):
+  everything that is parameter-independent: the FPS seed chain (FPS depends
+  only on the cloud, so seeds can be precomputed and fed to the backbone),
+  per-object view re-indexing (label_generation.py:57-67), label-point
+  transformation, seed->nearest-label-point assignment
+  (label_generation.py:84-94), and gathering fixed-shape per-seed label slabs
+  (Ns, V, A, D).  Output is a padded, static-shape dict.
+
+DEVICE (inside the jitted train step):
+  `process_grasp_labels`: log-rescaling with the batch-global max
+  (label_generation.py:111-117) and per-view score reduction;
+  `match_grasp_view_and_label`: slicing the A x D slab of the predicted top
+  view per seed (label_generation.py:129-151).
+
+Only the angle-index/width channels of the reference's offsets tensor are
+kept: the loss never consumes the angle/depth values themselves
+(models/loss.py:88-89 gathers them but they are unused downstream).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graspnet_tpu.config import GraspNetConfig
+from graspnet_tpu.models import geometry
+
+
+# ----------------------------------------------------------------- device --
+
+
+def process_grasp_labels(
+    end_points: Dict[str, Any], labels: Dict[str, jax.Array], cfg: GraspNetConfig
+) -> Dict[str, Any]:
+    """Device half of label processing (reference label_generation.py:111-127).
+
+    Expects in `labels` (padded, per scene):
+      grasp_points   (B, Ns, 3)   nearest label point per seed (scene frame)
+      seed_obj       (B, Ns)      object slot of that label point
+      obj_view_rot   (B, O, V, 3, 3) per-object re-indexed view rotations
+      grasp_labels   (B, Ns, V, A, D) raw scores (collision-zeroed)
+      grasp_widths   (B, Ns, V, A, D)
+      grasp_tolerance(B, Ns, V, A, D)
+    """
+    raw = labels["grasp_labels"]
+    widths = labels["grasp_widths"]
+    mask = (raw > 0) & (widths <= cfg.grasp_max_width)
+    u_max = jnp.max(raw)  # batch-global max, as in the reference
+    rescaled = jnp.where(mask, jnp.log(u_max / jnp.where(mask, raw, 1.0)), 0.0)
+    b, ns, v, a, d = rescaled.shape
+    view_label = jnp.max(rescaled.reshape(b, ns, v, a * d), axis=-1)
+
+    # per-seed view rotations: gather the seed's object slot
+    seed_obj = labels["seed_obj"]  # (B, Ns)
+    view_rot = jnp.take_along_axis(
+        labels["obj_view_rot"], seed_obj[:, :, None, None, None], axis=1
+    )  # (B, Ns, V, 3, 3)
+
+    return {
+        "batch_grasp_point": labels["grasp_points"],
+        "batch_grasp_view_rot": view_rot,
+        "batch_grasp_label": rescaled,
+        "batch_grasp_width": widths,
+        "batch_grasp_tolerance": labels["grasp_tolerance"],
+        "batch_grasp_view_label": view_label,
+    }
+
+
+def match_grasp_view_and_label(
+    end_points: Dict[str, Any], cfg: GraspNetConfig
+) -> Dict[str, Any]:
+    """Slice labels at the predicted top view (label_generation.py:129-151).
+
+    Overwrites batch_grasp_{view_rot,label,width,tolerance} with the (A, D)
+    slabs of the predicted view, mirroring the reference's in-place update.
+    """
+    top = end_points["grasp_top_view_inds"]  # (B, Ns)
+    rot = jnp.take_along_axis(
+        end_points["batch_grasp_view_rot"], top[:, :, None, None, None], axis=2
+    )[:, :, 0]  # (B, Ns, 3, 3)
+    idx = top[:, :, None, None, None]
+
+    def slab(x):
+        return jnp.take_along_axis(x, idx, axis=2)[:, :, 0]  # (B, Ns, A, D)
+
+    return {
+        "batch_grasp_view_rot": rot,
+        "batch_grasp_label": slab(end_points["batch_grasp_label"]),
+        "batch_grasp_width": slab(end_points["batch_grasp_width"]),
+        "batch_grasp_tolerance": slab(end_points["batch_grasp_tolerance"]),
+    }
+
+
+# ------------------------------------------------------------------- host --
+
+
+def fps_numpy(xyz: np.ndarray, npoint: int) -> np.ndarray:
+    """Host FPS with the exact device semantics (see ops/sampling.py)."""
+    n = xyz.shape[0]
+    mag = np.sum(xyz.astype(np.float32) ** 2, axis=1)
+    valid = mag > 1e-3
+    temp = np.full(n, 1e10, dtype=np.float32)
+    idxs = np.zeros(npoint, dtype=np.int32)
+    old = 0
+    for j in range(1, npoint):
+        diff = (xyz - xyz[old]).astype(np.float32)
+        d = np.sum(diff * diff, axis=1)
+        np.minimum(d, temp, out=temp, where=valid)
+        score = np.where(valid, temp, -1.0)
+        old = int(np.argmax(score))
+        idxs[j] = old
+    return idxs
+
+
+def seed_chain(cloud: np.ndarray, cfg: GraspNetConfig):
+    """Precompute the backbone's FPS chain on the host.
+
+    Returns dict of per-stage indices (each into the PREVIOUS stage's points,
+    matching the device contract) and the seed coordinates (sa2 level).
+    """
+    sa1 = fps_numpy(cloud, cfg.sa1.npoint)
+    xyz1 = cloud[sa1]
+    sa2 = fps_numpy(xyz1, cfg.sa2.npoint)
+    xyz2 = xyz1[sa2]
+    sa3 = fps_numpy(xyz2, cfg.sa3.npoint)
+    xyz3 = xyz2[sa3]
+    sa4 = fps_numpy(xyz3, cfg.sa4.npoint)
+    return {"sa1": sa1, "sa2": sa2, "sa3": sa3, "sa4": sa4}, xyz2
+
+
+def assign_views(pose_rot: np.ndarray, num_view: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-object view re-indexing (label_generation.py:48-67).
+
+    Returns:
+      view_inds (V,): for canonical view v, the object-frame view index whose
+        rotated direction lands nearest to canonical view v.
+      view_rot_trans (V, 3, 3): pose-rotated template view rotations,
+        re-indexed by view_inds.
+    """
+    views = geometry.generate_grasp_views_np(num_view)  # (V, 3)
+    views_trans = views @ pose_rot.T
+    d2 = np.sum((views[:, None, :] - views_trans[None, :, :]) ** 2, axis=-1)
+    view_inds = np.argmin(d2, axis=1).astype(np.int32)  # (V,) query=canonical
+    angles = np.zeros(num_view, dtype=np.float32)
+    rots = np.asarray(
+        geometry.batch_viewpoint_params_to_matrix(
+            jnp.asarray(-views), jnp.asarray(angles)
+        )
+    )  # (V, 3, 3)
+    rot_trans = np.einsum("ij,vjk->vik", pose_rot, rots)  # pose @ rot
+    return view_inds, rot_trans[view_inds]
+
+
+def build_scene_labels(
+    cloud: np.ndarray,
+    seed_xyz: np.ndarray,
+    object_poses: Sequence[np.ndarray],  # list of (3, 4)
+    grasp_points_list: Sequence[np.ndarray],  # (Np_o, 3) object frame
+    grasp_scores_list: Sequence[np.ndarray],  # (Np_o, V, A, D) collision-zeroed
+    grasp_widths_list: Sequence[np.ndarray],  # (Np_o, V, A, D)
+    grasp_tolerance_list: Sequence[np.ndarray],  # (Np_o, V, A, D)
+    cfg: GraspNetConfig,
+    max_objects: int = 16,
+) -> Dict[str, np.ndarray]:
+    """Host half: merge objects, assign seeds, gather per-seed label slabs.
+
+    Mirrors label_generation.py:30-109 with the (Ns, V, A, D) gather fused in
+    (instead of materializing the (P, V, A, D) merged tensor on device).
+    """
+    ns = seed_xyz.shape[0]
+    v, a, d = cfg.num_view, cfg.num_angle, cfg.num_depth
+    n_obj = len(object_poses)
+    assert n_obj >= 1, "scene must contain at least one labeled object"
+    assert n_obj <= max_objects
+
+    # per-object transforms + view re-indexing
+    points_merged: List[np.ndarray] = []
+    point_obj: List[np.ndarray] = []
+    point_local: List[np.ndarray] = []
+    view_inds_per_obj: List[np.ndarray] = []
+    obj_view_rot = np.zeros((max_objects, v, 3, 3), dtype=np.float32)
+    for o, pose in enumerate(object_poses):
+        pose = np.asarray(pose, dtype=np.float32)
+        pts = grasp_points_list[o].astype(np.float32)
+        pts_trans = pts @ pose[:3, :3].T + pose[:3, 3]
+        view_inds, rot_trans = assign_views(pose[:3, :3], v)
+        points_merged.append(pts_trans)
+        point_obj.append(np.full(len(pts), o, dtype=np.int32))
+        point_local.append(np.arange(len(pts), dtype=np.int32))
+        view_inds_per_obj.append(view_inds)
+        obj_view_rot[o] = rot_trans
+
+    points_merged = np.concatenate(points_merged, axis=0)  # (P, 3)
+    point_obj = np.concatenate(point_obj)
+    point_local = np.concatenate(point_local)
+
+    # seed -> nearest merged label point (label_generation.py:84-94)
+    d2 = np.sum(
+        (seed_xyz[:, None, :].astype(np.float32) - points_merged[None, :, :]) ** 2,
+        axis=-1,
+    )
+    nn = np.argmin(d2, axis=1)  # (Ns,)
+    seed_obj = point_obj[nn]
+    seed_local = point_local[nn]
+
+    # gather per-seed (V, A, D) slabs with the object's view re-indexing
+    labels = np.zeros((ns, v, a, d), dtype=np.float32)
+    widths = np.zeros((ns, v, a, d), dtype=np.float32)
+    tolerance = np.zeros((ns, v, a, d), dtype=np.float32)
+    for o in range(n_obj):
+        sel = np.nonzero(seed_obj == o)[0]
+        if len(sel) == 0:
+            continue
+        vi = view_inds_per_obj[o]
+        lp = seed_local[sel]
+        labels[sel] = grasp_scores_list[o][lp][:, vi]
+        widths[sel] = grasp_widths_list[o][lp][:, vi]
+        tolerance[sel] = grasp_tolerance_list[o][lp][:, vi]
+
+    return {
+        "grasp_points": points_merged[nn].astype(np.float32),  # (Ns, 3)
+        "seed_obj": seed_obj.astype(np.int32),
+        "obj_view_rot": obj_view_rot,
+        "grasp_labels": labels,
+        "grasp_widths": widths,
+        "grasp_tolerance": tolerance,
+    }

@@ -1,0 +1,175 @@
+"""Trainer: optimizer, schedules, jitted data-parallel train/eval steps.
+
+Reference recipe (train.py:26-41,96-112): Adam lr 1e-3 with x0.1 step decay at
+epochs 8/12/16, weight decay 0, batch 2, 18 epochs; BN momentum halves from
+0.5 every 2 epochs with floor 0.001 (BNMomentumScheduler,
+pytorch_utils.py:271-296).
+
+TPU redesign: one jitted step; scenes shard over the mesh 'data' axis with
+replicated params, so XLA inserts the gradient all-reduce and the batch-norm
+statistics are exact global-batch statistics (sync-BN) with no extra code.
+BN running stats live in the params pytree but receive their torch-style
+momentum update manually after the optimizer step (their gradients are zero
+in train mode by construction).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from graspnet_tpu.config import GraspNetConfig
+from graspnet_tpu.models import graspnet_forward, init_graspnet
+from graspnet_tpu.nn.layers import bn_update_running
+from graspnet_tpu.train.loss import get_loss
+from graspnet_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    max_epoch: int = 18
+    batch_size: int = 2
+    lr_decay_epochs: Tuple[int, ...] = (8, 12, 16)
+    lr_decay_rates: Tuple[float, ...] = (0.1, 0.1, 0.1)
+    bn_decay_step: int = 2
+    bn_decay_rate: float = 0.5
+    bn_momentum_init: float = 0.5
+    bn_momentum_min: float = 0.001
+
+
+def lr_at_epoch(tc: TrainConfig, epoch: int) -> float:
+    """Step-decay schedule (reference train.py:102-112)."""
+    lr = tc.learning_rate
+    for e, r in zip(tc.lr_decay_epochs, tc.lr_decay_rates):
+        if epoch >= e:
+            lr *= r
+    return lr
+
+
+def bn_momentum_at_epoch(tc: TrainConfig, epoch: int) -> float:
+    """BN momentum schedule (reference train.py:96-99)."""
+    m = tc.bn_momentum_init * (tc.bn_decay_rate ** (epoch // tc.bn_decay_step))
+    return max(m, tc.bn_momentum_min)
+
+
+def apply_bn_updates(params: Dict[str, Any], end_points: Dict[str, Any], momentum) -> Dict[str, Any]:
+    """Fold the step's batch statistics into the running BN stats."""
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
+
+    def update_mlp(layers, stats):
+        from graspnet_tpu.nn.layers import shared_mlp_update_stats
+
+        return shared_mlp_update_stats(layers, stats, momentum)
+
+    bb_stats = end_points["bn_stats/backbone"]
+    new_backbone = dict(params["backbone"])
+    for k in ("sa1", "sa2", "sa3", "sa4", "fp1", "fp2"):
+        new_backbone[k] = {"mlp": update_mlp(params["backbone"][k]["mlp"], bb_stats[k])}
+    params["backbone"] = new_backbone
+
+    for mod, key in (("approach", "bn_stats/approach"),):
+        st = end_points[key]
+        new_mod = dict(params[mod])
+        for b in ("bn1", "bn2"):
+            new_mod[b] = bn_update_running(params[mod][b], st[b], momentum)
+        params[mod] = new_mod
+
+    params["crop"] = {"mlp": update_mlp(params["crop"]["mlp"], end_points["bn_stats/crop"])}
+
+    for mod, key in (("operation", "bn_stats/operation"), ("tolerance", "bn_stats/tolerance")):
+        st = end_points[key]
+        new_mod = dict(params[mod])
+        for b in ("bn1", "bn2"):
+            new_mod[b] = bn_update_running(params[mod][b], st[b], momentum)
+        params[mod] = new_mod
+    return params
+
+
+class Trainer:
+    """Holds params/optimizer state and the compiled train/eval steps."""
+
+    def __init__(
+        self,
+        cfg: GraspNetConfig = GraspNetConfig(),
+        tc: TrainConfig = TrainConfig(),
+        mesh=None,
+        params: Optional[Dict[str, Any]] = None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.tc = tc
+        self.mesh = mesh if mesh is not None else make_mesh(1)
+        self.params = params if params is not None else init_graspnet(
+            jax.random.PRNGKey(seed), cfg
+        )
+        self.tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=tc.learning_rate, weight_decay=tc.weight_decay
+        )
+        self.opt_state = self.tx.init(self.params)
+        self.params = replicate(self.mesh, self.params)
+        self.opt_state = replicate(self.mesh, self.opt_state)
+        self.epoch = 0
+
+        cfg_ = cfg
+        tx = self.tx
+
+        @jax.jit
+        def _train_step(params, opt_state, batch, bn_momentum):
+            def loss_fn(p):
+                ep = graspnet_forward(
+                    p,
+                    batch["point_clouds"],
+                    cfg_,
+                    train=True,
+                    labels=batch,
+                )
+                ep["objectness_label"] = batch["objectness_label"]
+                loss, metrics = get_loss(ep, cfg_)
+                return loss, (ep, metrics)
+
+            (loss, (ep, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            params = apply_bn_updates(params, ep, bn_momentum)
+            return params, opt_state, loss, metrics
+
+        @jax.jit
+        def _eval_step(params, batch):
+            ep = graspnet_forward(
+                params, batch["point_clouds"], cfg_, train=True, labels=batch
+            )
+            ep["objectness_label"] = batch["objectness_label"]
+            loss, metrics = get_loss(ep, cfg_)
+            return loss, metrics
+
+        self._train_step = _train_step
+        self._eval_step = _eval_step
+
+    # -- epoch-level schedule handling ------------------------------------
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        lr = lr_at_epoch(self.tc, epoch)
+        self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+
+    def step(self, batch: Dict[str, np.ndarray]):
+        """One optimization step on a host batch (leading axis = scenes)."""
+        device_batch = shard_batch(self.mesh, batch)
+        momentum = bn_momentum_at_epoch(self.tc, self.epoch)
+        self.params, self.opt_state, loss, metrics = self._train_step(
+            self.params, self.opt_state, device_batch, jnp.float32(momentum)
+        )
+        return loss, metrics
+
+    def eval_step(self, batch: Dict[str, np.ndarray]):
+        device_batch = shard_batch(self.mesh, batch)
+        return self._eval_step(self.params, device_batch)

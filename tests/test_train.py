@@ -1,0 +1,175 @@
+"""Loss parity (vs torch transcription) and trainer integration tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from graspnet_tpu.config import GraspNetConfig
+from graspnet_tpu.train.loss import get_loss
+from graspnet_tpu.train import label_pipeline as lp
+from graspnet_tpu.train.trainer import (
+    Trainer,
+    TrainConfig,
+    bn_momentum_at_epoch,
+    lr_at_epoch,
+)
+from graspnet_tpu.parallel.mesh import make_mesh
+
+torch = pytest.importorskip("torch")
+
+THRESH_GOOD, THRESH_BAD = 0.7, 0.1
+GRASP_MAX_WIDTH, GRASP_MAX_TOLERANCE = 0.1, 0.05
+
+
+def torch_loss_oracle(ep):
+    """Transcription of reference models/loss.py:22-132 in torch."""
+    t = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in ep.items()}
+
+    # objectness (loss.py:30-45); our layout (B,Ns,2) -> torch CE wants (B,2,Ns)
+    obj_score = t["objectness_score"].permute(0, 2, 1)
+    obj_label = torch.gather(t["objectness_label"], 1, t["fp2_inds"].long()).long()
+    objectness_loss = torch.nn.CrossEntropyLoss(reduction="mean")(obj_score, obj_label)
+
+    # view loss (loss.py:47-66)
+    V = t["batch_grasp_view_label"].size(2)
+    obj_mask = (obj_label > 0).unsqueeze(-1).repeat(1, 1, V)
+    mse = torch.nn.MSELoss(reduction="none")(t["view_score"], t["batch_grasp_view_label"])
+    view_loss = mse[obj_mask].mean()
+
+    # grasp loss (loss.py:69-132); our pred layout (B,Ns,A,D)
+    label = t["batch_grasp_label"]
+    width = t["batch_grasp_width"]
+    tol = t["batch_grasp_tolerance"]
+    tgt_idx = torch.argmax(label, dim=2, keepdim=True)  # (B,Ns,1,D)
+    tgt_label = torch.gather(label, 2, tgt_idx).squeeze(2)
+    tgt_width = torch.gather(width, 2, tgt_idx).squeeze(2)
+    tgt_tol = torch.gather(tol, 2, tgt_idx).squeeze(2)
+    graspable = tgt_label > THRESH_BAD
+    loss_mask = ((obj_label > 0).unsqueeze(-1) & graspable).float()
+    denom = loss_mask.sum() + 1e-6
+
+    def huber(x, delta=1.0):
+        a = torch.abs(x)
+        q = torch.clamp(a, max=delta)
+        return 0.5 * q**2 + delta * (a - q)
+
+    score_pred = torch.gather(t["grasp_score_pred"], 2, tgt_idx).squeeze(2)
+    score_loss = (huber(score_pred - tgt_label) * loss_mask).sum() / denom
+
+    angle_logits = t["grasp_angle_cls_pred"].permute(0, 3, 1, 2)  # -> (B,D,Ns,A)? no:
+    # reference CE expects (B, A, Ns, D); ours is (B, Ns, A, D)
+    angle_logits = t["grasp_angle_cls_pred"].permute(0, 2, 1, 3)  # (B, A, Ns, D)
+    tgt_cls = tgt_idx.squeeze(2).long()  # (B, Ns, D)
+    ce = torch.nn.CrossEntropyLoss(reduction="none")(angle_logits, tgt_cls)
+    angle_loss = (ce * loss_mask).sum() / denom
+
+    width_pred = torch.gather(t["grasp_width_pred"], 2, tgt_idx).squeeze(2)
+    width_loss = (huber((width_pred - tgt_width) / GRASP_MAX_WIDTH) * loss_mask).sum() / denom
+    tol_pred = torch.gather(t["grasp_tolerance_pred"], 2, tgt_idx).squeeze(2)
+    tol_loss = (huber((tol_pred - tgt_tol) / GRASP_MAX_TOLERANCE) * loss_mask).sum() / denom
+
+    grasp_loss = score_loss + angle_loss + width_loss + tol_loss
+    return float(objectness_loss + view_loss + 0.2 * grasp_loss)
+
+
+def random_end_points(rng, cfg, b=2, n=64):
+    ns, v, a, d = cfg.num_seed, cfg.num_view, cfg.num_angle, cfg.num_depth
+    f32 = np.float32
+    return {
+        "objectness_score": rng.normal(size=(b, ns, 2)).astype(f32),
+        "objectness_label": rng.integers(0, 2, size=(b, n)).astype(np.int32),
+        "fp2_inds": rng.integers(0, n, size=(b, ns)).astype(np.int32),
+        "view_score": rng.normal(size=(b, ns, v)).astype(f32),
+        "batch_grasp_view_label": rng.uniform(0, 1, size=(b, ns, v)).astype(f32),
+        "batch_grasp_label": rng.uniform(0, 1, size=(b, ns, a, d)).astype(f32),
+        "batch_grasp_width": rng.uniform(0, 0.15, size=(b, ns, a, d)).astype(f32),
+        "batch_grasp_tolerance": rng.uniform(0, 0.05, size=(b, ns, a, d)).astype(f32),
+        "grasp_score_pred": rng.normal(size=(b, ns, a, d)).astype(f32),
+        "grasp_angle_cls_pred": rng.normal(size=(b, ns, a, d)).astype(f32),
+        "grasp_width_pred": rng.normal(size=(b, ns, a, d)).astype(f32),
+        "grasp_tolerance_pred": rng.normal(size=(b, ns, a, d)).astype(f32),
+    }
+
+
+def test_loss_matches_torch_oracle(rng):
+    cfg = GraspNetConfig.tiny()
+    ep = random_end_points(rng, cfg)
+    want = torch_loss_oracle(ep)
+    got, metrics = get_loss({k: jnp.asarray(v) for k, v in ep.items()}, cfg)
+    np.testing.assert_allclose(float(got), want, rtol=1e-4)
+    assert np.isfinite(float(metrics["loss/stage1_view_loss"]))
+
+
+def make_batch(rng, cfg, b):
+    from tests.test_labels import make_scene
+
+    clouds, obj_labels, sa_tree, label_list = [], [], [], []
+    for _ in range(b):
+        cloud = rng.uniform(-0.4, 0.4, (cfg.num_point, 3)).astype(np.float32)
+        inds, seed_xyz = lp.seed_chain(cloud, cfg)
+        seed_xyz_scene, poses, pts, scores, widths, tols = make_scene(rng, cfg)
+        labels = lp.build_scene_labels(
+            cloud, seed_xyz, poses, pts, scores, widths, tols, cfg, max_objects=4
+        )
+        clouds.append(cloud)
+        obj_labels.append(rng.integers(0, 2, size=cfg.num_point).astype(np.int32))
+        sa_tree.append(inds)
+        label_list.append(labels)
+
+    batch = {k: np.stack([l[k] for l in label_list]) for k in label_list[0]}
+    batch["point_clouds"] = np.stack(clouds)
+    batch["objectness_label"] = np.stack(obj_labels)
+    batch["sa_inds"] = {
+        k: np.stack([s[k] for s in sa_tree])[..., : getattr(cfg, k).npoint]
+        for k in ("sa1", "sa2", "sa3", "sa4")
+    }
+    return batch
+
+
+class TestTrainer:
+    def test_single_device_step_decreases_loss(self, rng):
+        cfg = GraspNetConfig.tiny()
+        trainer = Trainer(cfg=cfg, tc=TrainConfig(), seed=0)
+        batch = make_batch(rng, cfg, b=2)
+        trainer.set_epoch(0)
+        losses = []
+        for _ in range(5):
+            loss, metrics = trainer.step(batch)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+    def test_data_parallel_8dev_matches_semantics(self, rng):
+        cfg = GraspNetConfig.tiny()
+        mesh = make_mesh(8)
+        trainer = Trainer(cfg=cfg, tc=TrainConfig(), mesh=mesh, seed=0)
+        batch = make_batch(rng, cfg, b=8)
+        trainer.set_epoch(0)
+        loss, metrics = trainer.step(batch)
+        assert np.isfinite(float(loss))
+
+    def test_bn_stats_updated(self, rng):
+        cfg = GraspNetConfig.tiny()
+        trainer = Trainer(cfg=cfg, tc=TrainConfig(), seed=0)
+        before = np.asarray(
+            trainer.params["backbone"]["sa1"]["mlp"][0]["bn"]["mean"]
+        ).copy()
+        batch = make_batch(rng, cfg, b=2)
+        trainer.set_epoch(0)
+        trainer.step(batch)
+        after = np.asarray(trainer.params["backbone"]["sa1"]["mlp"][0]["bn"]["mean"])
+        assert not np.allclose(before, after)
+
+
+def test_schedules():
+    tc = TrainConfig()
+    assert lr_at_epoch(tc, 0) == pytest.approx(1e-3)
+    assert lr_at_epoch(tc, 8) == pytest.approx(1e-4)
+    assert lr_at_epoch(tc, 12) == pytest.approx(1e-5)
+    assert lr_at_epoch(tc, 17) == pytest.approx(1e-6)
+    assert bn_momentum_at_epoch(tc, 0) == pytest.approx(0.5)
+    assert bn_momentum_at_epoch(tc, 2) == pytest.approx(0.25)
+    assert bn_momentum_at_epoch(tc, 17) == pytest.approx(0.5 * 0.5**8, abs=1e-6) or \
+        bn_momentum_at_epoch(tc, 17) == pytest.approx(0.001953125)
