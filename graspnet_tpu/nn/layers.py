@@ -36,7 +36,15 @@ def dense_init(key: jax.Array, in_dim: int, out_dim: int, use_bias: bool = True)
 
 
 def dense(params: Params, x: jax.Array) -> jax.Array:
-    y = jnp.matmul(x, params["kernel"], preferred_element_type=x.dtype)
+    w = params["kernel"]
+    if w.shape[0] <= 4:
+        # tiny contraction dim (e.g. the xyz->C first layer): the MXU pads K
+        # to 128, wasting >30x; a VPU broadcast-sum is effectively free.
+        y = x[..., 0:1] * w[0]
+        for i in range(1, w.shape[0]):
+            y = y + x[..., i : i + 1] * w[i]
+    else:
+        y = jnp.matmul(x, w, preferred_element_type=x.dtype)
     if "bias" in params:
         y = y + params["bias"]
     return y

