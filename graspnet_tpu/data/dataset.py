@@ -1,0 +1,317 @@
+"""GraspNet-1Billion dataset: scene loading, augmentation, padded batching.
+
+Equivalent surface to reference dataset/graspnet_dataset.py with one key
+redesign: instead of the ragged `*_list` collation (graspnet_dataset.py:264-272
+— python lists of per-object tensors that force per-scene device loops), every
+sample is reduced on the host to fixed-shape padded tensors via
+graspnet_tpu.train.label_pipeline.build_scene_labels, so batches stack into a
+single static-shape pytree ready for the jitted train step.
+
+Scene layout on disk (same as the reference dataset):
+  root/scenes/scene_XXXX/{camera}/rgb|depth|label/NNNN.png, meta/NNNN.mat,
+  camera_poses.npy, cam0_wrt_table.npy
+  root/collision_label/scene_XXXX/collision_labels.npz
+  root/grasp_label/XXX_labels.npz    (points, offsets, scores)
+  tolerance/XXX_tolerance.npy
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from graspnet_tpu.config import GraspNetConfig
+from graspnet_tpu.data.camera import (
+    CameraInfo,
+    create_point_cloud_from_depth_image,
+    get_workspace_mask,
+    remove_invisible_grasp_points,
+    transform_point_cloud_np,
+)
+from graspnet_tpu.train import label_pipeline as lp
+
+SPLITS = {
+    "train": range(0, 100),
+    "test": range(100, 190),
+    "test_seen": range(100, 130),
+    "test_similar": range(130, 160),
+    "test_novel": range(160, 190),
+}
+FRAMES_PER_SCENE = 256
+SKIPPED_OBJECT = 18  # reference graspnet_dataset.py:255-256
+
+
+def load_grasp_labels(root: str, num_objects: int = 88) -> Tuple[List[int], Dict[int, tuple]]:
+    """Load per-object grasp labels; object 18 is skipped (reference :250-262).
+
+    Returns (valid_obj_idxs [1-based, aligned with label PNG ids], labels dict
+    keyed by 1-based id -> (points, offsets, scores, tolerance)).
+    """
+    valid, labels = [], {}
+    for i in range(num_objects):
+        if i == SKIPPED_OBJECT:
+            continue
+        label = np.load(os.path.join(root, "grasp_label", f"{i:03d}_labels.npz"))
+        tol_path = os.path.join(root, "tolerance", f"{i:03d}_tolerance.npy")
+        tolerance = np.load(tol_path) if os.path.exists(tol_path) else None
+        valid.append(i + 1)
+        labels[i + 1] = (
+            label["points"].astype(np.float32),
+            label["offsets"].astype(np.float32),
+            label["scores"].astype(np.float32),
+            tolerance,
+        )
+    return valid, labels
+
+
+def augment_flip_rotate(
+    cloud: np.ndarray, poses: List[np.ndarray], rng: np.random.Generator
+) -> Tuple[np.ndarray, List[np.ndarray]]:
+    """Random YZ flip + uniform ±30° rotation about camera X
+    (reference graspnet_dataset.py:76-96)."""
+    if rng.random() > 0.5:
+        flip = np.diag([-1.0, 1.0, 1.0]).astype(np.float32)
+        cloud = transform_point_cloud_np(cloud, flip)
+        poses = [(flip @ p).astype(np.float32) for p in poses]
+    ang = rng.random() * np.pi / 3 - np.pi / 6
+    c, s = np.cos(ang), np.sin(ang)
+    rot = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], dtype=np.float32)
+    cloud = transform_point_cloud_np(cloud, rot)
+    poses = [(rot @ p).astype(np.float32) for p in poses]
+    return cloud, poses
+
+
+class GraspNetDataset:
+    """Frame-level dataset over GraspNet-1B scenes."""
+
+    def __init__(
+        self,
+        root: str,
+        valid_obj_idxs: Optional[List[int]] = None,
+        grasp_labels: Optional[Dict[int, tuple]] = None,
+        camera: str = "kinect",
+        split: str = "train",
+        num_points: int = 20000,
+        remove_outlier: bool = False,
+        remove_invisible: bool = True,
+        augment: bool = False,
+        load_label: bool = True,
+        cfg: GraspNetConfig = GraspNetConfig(),
+        max_objects: int = 16,
+        seed: int = 0,
+    ):
+        assert num_points <= 50000
+        self.root = root
+        self.camera = camera
+        self.num_points = num_points
+        self.remove_outlier = remove_outlier
+        self.remove_invisible = remove_invisible
+        self.augment = augment
+        self.load_label = load_label
+        self.valid_obj_idxs = valid_obj_idxs or []
+        self.grasp_labels = grasp_labels or {}
+        self.cfg = cfg
+        self.max_objects = max_objects
+        self.rng = np.random.default_rng(seed)
+
+        self.scene_ids = [f"scene_{i:04d}" for i in SPLITS[split]]
+        self.frames: List[Tuple[str, int]] = []
+        self.collision_labels: Dict[str, Dict[int, np.ndarray]] = {}
+        for scene in self.scene_ids:
+            scene_dir = os.path.join(root, "scenes", scene, camera)
+            if not os.path.isdir(scene_dir):
+                continue  # tolerate partial local copies of the dataset
+            depth_dir = os.path.join(scene_dir, "depth")
+            n_frames = (
+                len(os.listdir(depth_dir))
+                if os.path.isdir(depth_dir)
+                else FRAMES_PER_SCENE
+            )
+            for f in range(n_frames):
+                self.frames.append((scene, f))
+            if load_label:
+                coll = np.load(
+                    os.path.join(root, "collision_label", scene, "collision_labels.npz")
+                )
+                self.collision_labels[scene] = {
+                    i: coll[f"arr_{i}"] for i in range(len(coll))
+                }
+
+    def __len__(self):
+        return len(self.frames)
+
+    def scene_list(self):
+        return [s for s, _ in self.frames]
+
+    # ------------------------------------------------------------ loading --
+    def _load_frame(self, scene: str, frame: int):
+        import scipy.io as scio
+        from PIL import Image
+
+        base = os.path.join(self.root, "scenes", scene, self.camera)
+        depth = np.array(Image.open(os.path.join(base, "depth", f"{frame:04d}.png")))
+        seg = np.array(Image.open(os.path.join(base, "label", f"{frame:04d}.png")))
+        meta = scio.loadmat(os.path.join(base, "meta", f"{frame:04d}.mat"))
+        intrinsic = meta["intrinsic_matrix"]
+        factor_depth = float(np.asarray(meta["factor_depth"]).reshape(-1)[0])
+        camera = CameraInfo(
+            depth.shape[1],
+            depth.shape[0],
+            intrinsic[0][0],
+            intrinsic[1][1],
+            intrinsic[0][2],
+            intrinsic[1][2],
+            factor_depth,
+        )
+        cloud = create_point_cloud_from_depth_image(depth, camera, organized=True)
+        mask = depth > 0
+        if self.remove_outlier:
+            camera_poses = np.load(os.path.join(base, "camera_poses.npy"))
+            align = np.load(os.path.join(base, "cam0_wrt_table.npy"))
+            trans = align @ camera_poses[frame]
+            workspace = get_workspace_mask(cloud, seg, trans=trans, organized=True, outlier=0.02)
+            mask = mask & workspace
+        return cloud[mask], seg[mask], meta
+
+    def _sample(self, n_avail: int) -> np.ndarray:
+        if n_avail >= self.num_points:
+            return self.rng.choice(n_avail, self.num_points, replace=False)
+        extra = self.rng.choice(n_avail, self.num_points - n_avail, replace=True)
+        return np.concatenate([np.arange(n_avail), extra])
+
+    def get_data(self, index: int) -> Dict[str, np.ndarray]:
+        """Inference sample: sampled cloud only (reference :104-152)."""
+        scene, frame = self.frames[index]
+        cloud, seg, _ = self._load_frame(scene, frame)
+        idxs = self._sample(len(cloud))
+        return {"point_clouds": cloud[idxs].astype(np.float32)}
+
+    def get_raw_cloud(self, index: int) -> np.ndarray:
+        scene, frame = self.frames[index]
+        cloud, _, _ = self._load_frame(scene, frame)
+        return cloud
+
+    def get_data_label(self, index: int) -> Dict[str, Any]:
+        """Training sample with padded labels + precomputed FPS seed chain."""
+        scene, frame = self.frames[index]
+        cloud, seg, meta = self._load_frame(scene, frame)
+        obj_idxs = meta["cls_indexes"].flatten().astype(np.int32)
+        poses = meta["poses"]
+
+        idxs = self._sample(len(cloud))
+        cloud_s = cloud[idxs].astype(np.float32)
+        seg_s = seg[idxs]
+        objectness = (seg_s > 0).astype(np.int32)
+
+        object_poses, pts_list, scores_list, widths_list, tol_list = [], [], [], [], []
+        for i, obj_idx in enumerate(obj_idxs):
+            if obj_idx not in self.valid_obj_idxs:
+                continue
+            if (seg_s == obj_idx).sum() < 50:  # reference :209
+                continue
+            pose = poses[:, :, i]
+            points, offsets, scores, tolerance = self.grasp_labels[obj_idx]
+            collision = self.collision_labels[scene][i]
+            if self.remove_invisible:
+                visible = remove_invisible_grasp_points(
+                    cloud_s[seg_s == obj_idx], points, pose, th=0.01
+                )
+                points, offsets = points[visible], offsets[visible]
+                scores, tolerance = scores[visible], tolerance[visible]
+                collision = collision[visible]
+            # subsample label points (reference :224)
+            k = min(max(int(len(points) / 4), 300), len(points))
+            sel = self.rng.choice(len(points), k, replace=False)
+            points, offsets = points[sel], offsets[sel]
+            scores = scores[sel].copy()
+            tolerance = tolerance[sel].copy()
+            collision = collision[sel]
+            scores[collision] = 0.0
+            tolerance[collision] = 0.0
+            object_poses.append(pose)
+            pts_list.append(points)
+            scores_list.append(scores)
+            widths_list.append(offsets[..., 2])
+            tol_list.append(tolerance)
+
+        if self.augment:
+            cloud_s, object_poses = augment_flip_rotate(cloud_s, object_poses, self.rng)
+
+        sa_inds, seed_xyz = lp.seed_chain(cloud_s, self.cfg)
+        labels = lp.build_scene_labels(
+            cloud_s,
+            seed_xyz,
+            object_poses,
+            pts_list,
+            scores_list,
+            widths_list,
+            tol_list,
+            self.cfg,
+            max_objects=self.max_objects,
+        )
+        labels["point_clouds"] = cloud_s
+        labels["objectness_label"] = objectness
+        labels["sa_inds"] = sa_inds
+        return labels
+
+    def __getitem__(self, index: int):
+        return self.get_data_label(index) if self.load_label else self.get_data(index)
+
+
+def collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack a list of fixed-shape sample dicts into one batch pytree."""
+    out: Dict[str, Any] = {}
+    for k in samples[0]:
+        if isinstance(samples[0][k], dict):
+            out[k] = {s: np.stack([x[k][s] for x in samples]) for s in samples[0][k]}
+        else:
+            out[k] = np.stack([x[k] for x in samples])
+    return out
+
+
+class DataLoader:
+    """Thread-pooled prefetching loader (reference DataLoader num_workers=4)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True, num_workers: int = 4, seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            futures = [
+                pool.submit(lambda idxs: collate([self.dataset[i] for i in idxs]), b)
+                for b in batches[: self.num_workers + 1]
+            ]
+            next_submit = self.num_workers + 1
+            for i in range(len(batches)):
+                yield futures[i].result()
+                if next_submit < len(batches):
+                    futures.append(
+                        pool.submit(
+                            lambda idxs: collate([self.dataset[i] for i in idxs]),
+                            batches[next_submit],
+                        )
+                    )
+                    next_submit += 1
