@@ -1,0 +1,87 @@
+"""Test/inference entry point (equivalent of reference test.py).
+
+Two phases, same as the reference: (1) inference over a test split, dumping
+per-frame (M,17) grasp arrays (optionally collision-filtered against the raw
+full-resolution cloud, reference test.py:92-96); (2) AP evaluation over the
+dump directory via graspnet_tpu.eval (requires the dataset's object models).
+
+    python -m graspnet_tpu.apps.test --dataset_root /data/graspnet \
+        --camera realsense --split test_seen --checkpoint_path ckpt \
+        --dump_dir logs/dump --collision_thresh 0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from graspnet_tpu.config import GraspNetConfig
+from graspnet_tpu.data.dataset import GraspNetDataset
+from graspnet_tpu.apps.pipeline import GraspPipeline
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset_root", required=True)
+    p.add_argument("--camera", default="kinect", choices=["kinect", "realsense"])
+    p.add_argument("--split", default="test_seen")
+    p.add_argument("--checkpoint_path", default=None)
+    p.add_argument("--dump_dir", required=True)
+    p.add_argument("--num_point", type=int, default=20000)
+    p.add_argument("--collision_thresh", type=float, default=0.01)
+    p.add_argument("--voxel_size", type=float, default=0.01)
+    p.add_argument("--num_workers", type=int, default=30, help="eval processes")
+    p.add_argument("--skip_eval", action="store_true")
+    p.add_argument("--max_frames", type=int, default=None)
+    return p.parse_args()
+
+
+def inference(args, cfg) -> None:
+    dataset = GraspNetDataset(
+        args.dataset_root, camera=args.camera, split=args.split,
+        num_points=args.num_point, remove_outlier=True, load_label=False, cfg=cfg,
+    )
+    pipe = GraspPipeline(cfg=cfg, checkpoint_path=args.checkpoint_path)
+    print(f"compile: {pipe.warmup():.1f}s; frames: {len(dataset)}")
+
+    n = len(dataset) if args.max_frames is None else min(args.max_frames, len(dataset))
+    tic = time.time()
+    for i in range(n):
+        sample = dataset.get_data(i)
+        gg = pipe.get_grasps(sample["point_clouds"])
+        if args.collision_thresh > 0:
+            raw_cloud = dataset.get_raw_cloud(i)
+            gg = pipe.collision_filter(
+                gg, raw_cloud, args.collision_thresh, args.voxel_size
+            )
+        scene, frame = dataset.frames[i]
+        save_dir = os.path.join(args.dump_dir, scene, args.camera)
+        os.makedirs(save_dir, exist_ok=True)
+        gg.save_npy(os.path.join(save_dir, f"{frame:04d}.npy"))
+        if (i + 1) % 100 == 0:
+            print(f"{i+1}/{n} frames, {(time.time()-tic)/(i+1)*1000:.1f} ms/frame")
+    print(f"inference done: {(time.time()-tic):.1f}s total")
+
+
+def evaluate(args) -> None:
+    from graspnet_tpu.eval.ap import GraspNetEval
+
+    ge = GraspNetEval(args.dataset_root, camera=args.camera, split=args.split)
+    res, ap = ge.eval_all(args.dump_dir, proc=args.num_workers)
+    np.save(os.path.join(args.dump_dir, f"ap_{args.camera}.npy"), res)
+    print(f"AP {args.camera} {args.split}: {ap}")
+
+
+def main():
+    args = parse_args()
+    cfg = GraspNetConfig(num_point=args.num_point)
+    inference(args, cfg)
+    if not args.skip_eval:
+        evaluate(args)
+
+
+if __name__ == "__main__":
+    main()

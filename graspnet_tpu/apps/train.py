@@ -1,0 +1,122 @@
+"""Training entry point (equivalent of reference train.py).
+
+Canonical invocation (mirrors command_train.sh):
+    python -m graspnet_tpu.apps.train --dataset_root /data/graspnet \
+        --camera realsense --log_dir logs/rs --batch_size 2 --max_epoch 18
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from graspnet_tpu import checkpoint
+from graspnet_tpu.config import GraspNetConfig
+from graspnet_tpu.data.dataset import DataLoader, GraspNetDataset, load_grasp_labels
+from graspnet_tpu.parallel.mesh import make_mesh
+from graspnet_tpu.train.trainer import Trainer, TrainConfig
+from graspnet_tpu.utils.logging import MetricLogger
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset_root", required=True)
+    p.add_argument("--camera", default="kinect", choices=["kinect", "realsense"])
+    p.add_argument("--checkpoint_path", default=None, help="resume checkpoint")
+    p.add_argument("--log_dir", default="log")
+    p.add_argument("--num_point", type=int, default=20000)
+    p.add_argument("--num_view", type=int, default=300)
+    p.add_argument("--max_epoch", type=int, default=18)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--bn_decay_step", type=int, default=2)
+    p.add_argument("--bn_decay_rate", type=float, default=0.5)
+    p.add_argument("--lr_decay_steps", default="8,12,16")
+    p.add_argument("--lr_decay_rates", default="0.1,0.1,0.1")
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--n_devices", type=int, default=None, help="data-parallel width")
+    p.add_argument("--log_every", type=int, default=10)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    os.makedirs(args.log_dir, exist_ok=True)
+    logger = MetricLogger(args.log_dir)
+
+    cfg = GraspNetConfig(num_point=args.num_point, num_view=args.num_view)
+    tc = TrainConfig(
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        max_epoch=args.max_epoch,
+        batch_size=args.batch_size,
+        lr_decay_epochs=tuple(int(x) for x in args.lr_decay_steps.split(",")),
+        lr_decay_rates=tuple(float(x) for x in args.lr_decay_rates.split(",")),
+        bn_decay_step=args.bn_decay_step,
+        bn_decay_rate=args.bn_decay_rate,
+    )
+
+    valid_objs, grasp_labels = load_grasp_labels(args.dataset_root)
+    train_ds = GraspNetDataset(
+        args.dataset_root, valid_objs, grasp_labels, camera=args.camera,
+        split="train", num_points=args.num_point, remove_outlier=True,
+        augment=True, cfg=cfg,
+    )
+    test_ds = GraspNetDataset(
+        args.dataset_root, valid_objs, grasp_labels, camera=args.camera,
+        split="test_seen", num_points=args.num_point, remove_outlier=True,
+        augment=False, cfg=cfg,
+    )
+    logger.log(f"train len: {len(train_ds)}, test len: {len(test_ds)}")
+
+    mesh = make_mesh(args.n_devices)
+    trainer = Trainer(cfg=cfg, tc=tc, mesh=mesh)
+    start_epoch = 0
+    if args.checkpoint_path and os.path.exists(args.checkpoint_path):
+        state = checkpoint.restore(args.checkpoint_path)
+        trainer.params = state["params"]
+        trainer.opt_state = state["opt_state"]
+        start_epoch = int(state["epoch"]) + 1
+        logger.log(f"resumed from {args.checkpoint_path} at epoch {start_epoch}")
+
+    train_loader = DataLoader(
+        train_ds, tc.batch_size, shuffle=True, num_workers=args.num_workers
+    )
+    test_loader = DataLoader(
+        test_ds, tc.batch_size, shuffle=False, num_workers=args.num_workers
+    )
+
+    for epoch in range(start_epoch, tc.max_epoch):
+        trainer.set_epoch(epoch)
+        logger.log(f"**** EPOCH {epoch:03d} ****  lr={trainer.opt_state.hyperparams['learning_rate']}")
+        t0 = time.time()
+        for step, batch in enumerate(train_loader):
+            loss, metrics = trainer.step(batch)
+            logger.accumulate(metrics)
+            if (step + 1) % args.log_every == 0:
+                logger.flush("train", epoch * len(train_loader) + step + 1)
+        logger.log(f"epoch train time: {time.time()-t0:.1f}s")
+
+        for batch in test_loader:
+            _, metrics = trainer.eval_step(batch)
+            logger.accumulate(metrics)
+        logger.flush("eval", (epoch + 1) * len(train_loader))
+
+        checkpoint.save(
+            os.path.join(os.path.abspath(args.log_dir), "checkpoint"),
+            {
+                "params": trainer.params,
+                "opt_state": trainer.opt_state,
+                "epoch": np.int32(epoch),
+            },
+        )
+        logger.log(f"saved checkpoint at epoch {epoch}")
+
+
+if __name__ == "__main__":
+    main()
