@@ -1,0 +1,272 @@
+"""Grasp service: the reference's ROS 2 deployment surface, transport-agnostic.
+
+The reference ships four rclpy nodes (demo.py, grasp_service.py,
+grasp_segmentation.py, graspnet_tf.py) that share one core loop:
+capture/receive a cloud -> filter -> network -> collision -> segmentation
+proximity filter -> world-frame approach filter -> best-grasp pose out.
+
+Here that core is `GraspService` (plain python, fully testable), wrapped by:
+  * a JSON-over-TCP trigger server (`serve_tcp`) for ROS-less deployments;
+  * an optional rclpy node (`run_ros_node`) with the reference's service name
+    `trigger_grasp_calculation` and `estimated_grasp` TF output, loaded only
+    when rclpy is importable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import socketserver
+import threading
+from typing import Optional
+
+import numpy as np
+
+from graspnet_tpu.config import GraspNetConfig
+from graspnet_tpu.apps.pipeline import GraspPipeline
+from graspnet_tpu.postproc import GraspGroup
+
+
+@dataclasses.dataclass
+class ServiceConfig:
+    checkpoint_path: Optional[str] = None
+    model_cfg: Optional[GraspNetConfig] = None  # override (e.g. tiny for tests)
+    num_point: int = 20000
+    collision_thresh: float = 0.01
+    voxel_size: float = 0.01
+    depth_min: float = 0.3  # reference demo.py depth range [0.3, 0.6]
+    depth_max: float = 0.6
+    seg_proximity_thresh: float = 0.02  # reference grasp_service.py mask filter
+    max_world_z_for_approach: Optional[float] = None  # world-frame approach gate
+    top_k: int = 50
+
+
+class GraspService:
+    """Capture-to-grasp core shared by all deployment wrappers."""
+
+    def __init__(self, cfg: ServiceConfig = ServiceConfig()):
+        self.cfg = cfg
+        model_cfg = cfg.model_cfg or GraspNetConfig(num_point=cfg.num_point)
+        self.pipe = GraspPipeline(cfg=model_cfg, checkpoint_path=cfg.checkpoint_path)
+        self.pipe.warmup()
+
+    # -- filters (reference grasp_service.py:113-150, 263-269) -------------
+    @staticmethod
+    def filter_by_mask_proximity(
+        gg: GraspGroup, mask_points: np.ndarray, thresh: float
+    ) -> GraspGroup:
+        """Keep grasps whose center lies near any segmented point."""
+        if len(gg) == 0 or len(mask_points) == 0:
+            return gg
+        centers = gg.translations
+        d = np.linalg.norm(
+            centers[:, None, :] - mask_points[None, :, :], axis=-1
+        ).min(axis=1)
+        return gg[d <= thresh]
+
+    @staticmethod
+    def filter_by_world_approach(
+        gg: GraspGroup, world_from_camera: np.ndarray, max_world_z: float
+    ) -> GraspGroup:
+        """Reject grasps whose approach direction, expressed in the world
+        frame, points upward beyond max_world_z (reference
+        grasp_service.py:298-303)."""
+        if len(gg) == 0:
+            return gg
+        approach_cam = gg.rotation_matrices[:, :, 0]  # x-axis = approach
+        approach_world = approach_cam @ world_from_camera[:3, :3].T
+        return gg[approach_world[:, 2] <= max_world_z]
+
+    # -- main entry ---------------------------------------------------------
+    def compute(
+        self,
+        cloud: np.ndarray,
+        mask_points: Optional[np.ndarray] = None,
+        world_from_camera: Optional[np.ndarray] = None,
+    ) -> dict:
+        """Full request: cloud (N,3) in camera frame -> best grasp + group."""
+        c = self.cfg
+        z = cloud[:, 2]
+        cloud = cloud[(z >= c.depth_min) & (z <= c.depth_max)]
+        if len(cloud) < 100:
+            return {"ok": False, "error": "not enough points in depth range"}
+        sampled = self.pipe.sample_cloud(cloud)
+        gg = self.pipe.run(
+            sampled,
+            scene_cloud=cloud,
+            collision_thresh=c.collision_thresh,
+            top_k=0,  # filter before truncating
+        )
+        if mask_points is not None:
+            gg = self.filter_by_mask_proximity(gg, mask_points, c.seg_proximity_thresh)
+        if world_from_camera is not None and c.max_world_z_for_approach is not None:
+            gg = self.filter_by_world_approach(
+                gg, world_from_camera, c.max_world_z_for_approach
+            )
+        gg = gg.sort_by_score()[: c.top_k]
+        if len(gg) == 0:
+            return {"ok": False, "error": "no valid grasp"}
+        best = gg[0]
+        return {
+            "ok": True,
+            "best_pose": best.to_matrix().tolist(),
+            "best_score": best.score,
+            "best_width": best.width,
+            "num_grasps": len(gg),
+            "grasps": gg.grasp_group_array.tolist(),
+            "timings_ms": {
+                "infer": self.pipe.timings.infer_s * 1000,
+                "collision": self.pipe.timings.collision_s * 1000,
+            },
+        }
+
+
+# ----------------------------------------------------------- TCP wrapper ----
+
+
+def serve_tcp(service: GraspService, host: str = "127.0.0.1", port: int = 9876):
+    """JSON-over-TCP trigger server: one request per connection.
+
+    Request: {"cloud": [[x,y,z],...], "mask_points": [...]? ,
+              "world_from_camera": 4x4? }
+    Response: GraspService.compute() dict.
+    """
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            data = self.rfile.read()
+            try:
+                req = json.loads(data.decode())
+                cloud = np.asarray(req["cloud"], dtype=np.float32)
+                mask = (
+                    np.asarray(req["mask_points"], dtype=np.float32)
+                    if "mask_points" in req
+                    else None
+                )
+                wfc = (
+                    np.asarray(req["world_from_camera"], dtype=np.float32)
+                    if "world_from_camera" in req
+                    else None
+                )
+                out = service.compute(cloud, mask, wfc)
+            except Exception as e:  # noqa: BLE001 — service must not die
+                out = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            self.wfile.write(json.dumps(out).encode())
+
+    srv = socketserver.ThreadingTCPServer((host, port), Handler)
+    srv.daemon_threads = True
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    return srv
+
+
+# ----------------------------------------------------------- ROS wrapper ----
+
+
+def run_ros_node(service_cfg: ServiceConfig, camera_link: str = "camera_link"):
+    """rclpy node exposing the reference's trigger service + TF broadcast.
+
+    Requires ROS 2 (rclpy); import is deferred so the rest of the framework
+    works without it.
+    """
+    import rclpy  # noqa: PLC0415
+    from rclpy.node import Node
+    from std_srvs.srv import Trigger
+    from geometry_msgs.msg import TransformStamped
+    from tf2_ros import TransformBroadcaster
+
+    from graspnet_tpu.sensors.realsense import CameraRealsense
+
+    class GraspServiceNode(Node):
+        def __init__(self):
+            super().__init__("graspnet_tpu_service")
+            self.service = GraspService(service_cfg)
+            self.camera = CameraRealsense()
+            self.broadcaster = TransformBroadcaster(self)
+            self.srv = self.create_service(
+                Trigger, "trigger_grasp_calculation", self.handle_trigger
+            )
+
+        def handle_trigger(self, request, response):
+            try:
+                self.camera.connect()
+                rgb, depth = self.camera.get_rgbd()
+                k = self.camera.camera_k()
+                from graspnet_tpu.data.camera import (
+                    CameraInfo,
+                    create_point_cloud_from_depth_image,
+                )
+
+                cam = CameraInfo(
+                    depth.shape[1], depth.shape[0], k[0, 0], k[1, 1], k[0, 2], k[1, 2], 1.0
+                )
+                cloud = create_point_cloud_from_depth_image(depth, cam, organized=False)
+                out = self.service.compute(cloud)
+                if out["ok"]:
+                    self._publish_tf(np.asarray(out["best_pose"]), camera_link)
+                response.success = bool(out["ok"])
+                response.message = json.dumps(
+                    {k: v for k, v in out.items() if k != "grasps"}
+                )
+            except Exception as e:  # noqa: BLE001
+                response.success = False
+                response.message = f"{type(e).__name__}: {e}"
+            finally:
+                try:
+                    self.camera.disconnect()
+                except Exception:  # noqa: BLE001
+                    pass
+            return response
+
+        def _publish_tf(self, pose: np.ndarray, parent: str):
+            from graspnet_tpu.utils.transforms import matrix_to_quaternion
+
+            t = TransformStamped()
+            t.header.stamp = self.get_clock().now().to_msg()
+            t.header.frame_id = parent
+            t.child_frame_id = "estimated_grasp"
+            t.transform.translation.x = float(pose[0, 3])
+            t.transform.translation.y = float(pose[1, 3])
+            t.transform.translation.z = float(pose[2, 3])
+            q = matrix_to_quaternion(pose[:3, :3])
+            t.transform.rotation.x = float(q[0])
+            t.transform.rotation.y = float(q[1])
+            t.transform.rotation.z = float(q[2])
+            t.transform.rotation.w = float(q[3])
+            self.broadcaster.sendTransform(t)
+
+    rclpy.init()
+    node = GraspServiceNode()
+    try:
+        rclpy.spin(node)
+    finally:
+        node.destroy_node()
+        rclpy.shutdown()
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint_path", default=None)
+    p.add_argument("--port", type=int, default=9876)
+    p.add_argument("--ros", action="store_true", help="run as a ROS 2 node")
+    p.add_argument("--collision_thresh", type=float, default=0.01)
+    args = p.parse_args()
+    cfg = ServiceConfig(
+        checkpoint_path=args.checkpoint_path, collision_thresh=args.collision_thresh
+    )
+    if args.ros:
+        run_ros_node(cfg)
+    else:
+        service = GraspService(cfg)
+        srv = serve_tcp(service, port=args.port)
+        print(f"grasp service listening on :{args.port} (JSON over TCP)")
+        try:
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()

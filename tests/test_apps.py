@@ -1,0 +1,168 @@
+"""App-layer tests: pipeline, service core + TCP wrapper, transforms, IO."""
+
+import json
+import socket
+
+import numpy as np
+import pytest
+
+from graspnet_tpu.config import GraspNetConfig
+from graspnet_tpu.apps.pipeline import GraspPipeline
+from graspnet_tpu.apps.service import GraspService, ServiceConfig, serve_tcp
+from graspnet_tpu.apps.demo_pointcloud import load_cloud
+from graspnet_tpu.apps.stereo_demo import deproject_masked_points
+from graspnet_tpu.sensors.cameras import FileCamera, load_intrinsics_txt, save_capture
+from graspnet_tpu.utils.transforms import (
+    compose_base_grasp,
+    matrix_to_quaternion,
+    quaternion_to_matrix,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_service():
+    cfg = GraspNetConfig.tiny()
+    return GraspService(
+        ServiceConfig(model_cfg=cfg, depth_min=0.0, depth_max=10.0, collision_thresh=-1)
+    )
+
+
+def scene_cloud(rng, n=3000):
+    cloud = rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32)
+    cloud[:, 2] += 0.5
+    return cloud
+
+
+class TestPipeline:
+    def test_run_returns_grasps(self, rng):
+        cfg = GraspNetConfig.tiny()
+        pipe = GraspPipeline(cfg=cfg, seed=0)
+        cloud = scene_cloud(rng)
+        sampled = pipe.sample_cloud(cloud)
+        gg = pipe.run(sampled, scene_cloud=cloud, collision_thresh=0.01, top_k=10)
+        assert len(gg) <= 10
+        assert gg.grasp_group_array.shape[1] == 17
+
+    def test_sample_pads_short_clouds(self, rng):
+        cfg = GraspNetConfig.tiny()
+        pipe = GraspPipeline(cfg=cfg, seed=0)
+        short = rng.uniform(-0.1, 0.1, (100, 3)).astype(np.float32)
+        out = pipe.sample_cloud(short)
+        assert out.shape == (cfg.num_point, 3)
+
+
+class TestService:
+    def test_compute(self, tiny_service, rng):
+        out = tiny_service.compute(scene_cloud(rng))
+        assert out["ok"]
+        pose = np.asarray(out["best_pose"])
+        assert pose.shape == (4, 4)
+        R = pose[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+
+    def test_depth_filter_rejects_empty(self, tiny_service, rng):
+        far = rng.uniform(20, 30, (500, 3)).astype(np.float32)
+        out = tiny_service.compute(far)
+        assert not out["ok"]
+
+    def test_mask_proximity_filter(self, tiny_service, rng):
+        cloud = scene_cloud(rng)
+        out_all = tiny_service.compute(cloud)
+        # mask far from everything kills all grasps
+        mask_pts = np.full((5, 3), 100.0, dtype=np.float32)
+        out_none = tiny_service.compute(cloud, mask_points=mask_pts)
+        assert out_all["ok"] and not out_none["ok"]
+
+    def test_world_approach_filter(self, tiny_service, rng):
+        gg_cfg = tiny_service.cfg
+        gg_cfg.max_world_z_for_approach = -2.0  # impossible: rejects everything
+        out = tiny_service.compute(
+            scene_cloud(rng), world_from_camera=np.eye(4, dtype=np.float32)
+        )
+        gg_cfg.max_world_z_for_approach = None
+        assert not out["ok"]
+
+    def test_tcp_roundtrip(self, tiny_service, rng):
+        srv = serve_tcp(tiny_service, port=0)
+        port = srv.server_address[1]
+        cloud = scene_cloud(rng, n=1500)
+        req = json.dumps({"cloud": cloud.tolist()}).encode()
+        with socket.create_connection(("127.0.0.1", port)) as s:
+            s.sendall(req)
+            s.shutdown(socket.SHUT_WR)
+            buf = b""
+            while True:
+                chunk = s.recv(65536)
+                if not chunk:
+                    break
+                buf += chunk
+        out = json.loads(buf.decode())
+        assert out["ok"]
+        srv.shutdown()
+
+
+class TestTransforms:
+    def test_quaternion_roundtrip(self, rng):
+        from graspnet_tpu.models.geometry import batch_viewpoint_params_to_matrix
+        import jax.numpy as jnp
+
+        towards = rng.normal(size=(10, 3)).astype(np.float32)
+        angles = rng.uniform(0, np.pi, 10).astype(np.float32)
+        Rs = np.asarray(
+            batch_viewpoint_params_to_matrix(jnp.asarray(towards), jnp.asarray(angles))
+        )
+        for R in Rs:
+            q = matrix_to_quaternion(R)
+            back = quaternion_to_matrix(q)
+            np.testing.assert_allclose(back, R, atol=1e-5)
+
+    def test_compose(self, rng):
+        T1 = np.eye(4)
+        T1[:3, 3] = [1, 2, 3]
+        T2 = np.eye(4)
+        T2[:3, 3] = [0.1, 0, 0]
+        out = compose_base_grasp(T1, T2)
+        np.testing.assert_allclose(out[:3, 3], [1.1, 2, 3])
+
+
+class TestIO:
+    def test_load_cloud_formats(self, rng, tmp_path):
+        pts = rng.normal(size=(50, 3)).astype(np.float32)
+        np.save(tmp_path / "c.npy", pts)
+        np.savez(tmp_path / "c.npz", points=pts)
+        np.testing.assert_allclose(load_cloud(str(tmp_path / "c.npy")), pts)
+        np.testing.assert_allclose(load_cloud(str(tmp_path / "c.npz")), pts)
+
+    def test_capture_roundtrip(self, rng, tmp_path):
+        rgb = rng.uniform(0, 1, (24, 32, 3)).astype(np.float32)
+        depth = rng.uniform(0.3, 0.8, (24, 32)).astype(np.float32)
+        K = np.array([[100.0, 0, 16], [0, 100.0, 12], [0, 0, 1]])
+        ts = save_capture(str(tmp_path), rgb, depth, K, timestamp=123)
+        cam = FileCamera(
+            str(tmp_path / f"rgb_{ts}.png"),
+            str(tmp_path / f"depth_{ts}.png"),
+            str(tmp_path / f"meta_{ts}.mat"),
+        )
+        cam.connect()
+        rgb2, depth2 = cam.get_rgbd()
+        np.testing.assert_allclose(cam.camera_k(), K)
+        np.testing.assert_allclose(depth2, depth, atol=1e-3)
+        np.testing.assert_allclose(rgb2, rgb, atol=0.01)
+
+    def test_intrinsics_txt(self, tmp_path):
+        p4 = tmp_path / "k4.txt"
+        p4.write_text("100 110 32 24")
+        K = load_intrinsics_txt(str(p4))
+        assert K[0, 0] == 100 and K[1, 2] == 24
+        p9 = tmp_path / "k9.txt"
+        p9.write_text("100 0 32 0 110 24 0 0 1")
+        K9 = load_intrinsics_txt(str(p9))
+        np.testing.assert_allclose(K, K9)
+
+    def test_deproject_masked(self, rng):
+        depth = np.full((10, 12), 0.5, dtype=np.float32)
+        mask = np.zeros((10, 12), bool)
+        mask[5, 6] = True
+        K = np.array([[100.0, 0, 6], [0, 100.0, 5], [0, 0, 1]])
+        pts = deproject_masked_points(mask, depth, K)
+        np.testing.assert_allclose(pts, [[0.0, 0.0, 0.5]], atol=1e-6)
