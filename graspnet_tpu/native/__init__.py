@@ -1,0 +1,114 @@
+"""ctypes loader for the native host kernels (graspnet_host.cpp).
+
+Builds the shared library with g++ on first use (cached next to the source);
+every entry point has a numpy fallback with identical semantics, so the
+framework works without a toolchain — the native path just makes the host
+data pipeline ~20x faster (FPS seed chains, voxel downsampling of ~1M-point
+service clouds).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "src", "graspnet_host.cpp")
+_LIB = os.path.join(os.path.dirname(__file__), "libgraspnet_host.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-fPIC", "-shared", "-fopenmp",
+        "-o", _LIB, _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        # retry without OpenMP (some toolchains lack libgomp)
+        try:
+            cmd.remove("-fopenmp")
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return True
+        except Exception:
+            return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None when unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.gn_fps.argtypes = [f32p, ctypes.c_int, ctypes.c_int, i32p]
+        lib.gn_fps_batch.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+        ]
+        lib.gn_nearest.argtypes = [f32p, ctypes.c_int, f32p, ctypes.c_int, i32p]
+        lib.gn_voxel_downsample.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_float, f32p,
+        ]
+        lib.gn_voxel_downsample.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def fps(xyz: np.ndarray, npoint: int) -> np.ndarray:
+    """(N,3) float32 -> (npoint,) int32 FPS indices (native or fallback)."""
+    lib = get_lib()
+    xyz = np.ascontiguousarray(xyz, dtype=np.float32)
+    if lib is None:
+        from graspnet_tpu.train.label_pipeline import fps_numpy
+
+        return fps_numpy(xyz, npoint)
+    out = np.empty(npoint, dtype=np.int32)
+    lib.gn_fps(xyz, xyz.shape[0], npoint, out)
+    return out
+
+
+def nearest(query: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """(Nq,3),(Nr,3) -> (Nq,) int32 nearest-ref index per query."""
+    lib = get_lib()
+    query = np.ascontiguousarray(query, dtype=np.float32)
+    ref = np.ascontiguousarray(ref, dtype=np.float32)
+    if lib is None:
+        d2 = np.sum((query[:, None] - ref[None]) ** 2, axis=-1)
+        return np.argmin(d2, axis=1).astype(np.int32)
+    out = np.empty(len(query), dtype=np.int32)
+    lib.gn_nearest(query, len(query), ref, len(ref), out)
+    return out
+
+
+def voxel_downsample(pts: np.ndarray, voxel: float) -> np.ndarray:
+    """(N,3) -> (K,3) voxel centroids (unordered)."""
+    lib = get_lib()
+    pts = np.ascontiguousarray(pts, dtype=np.float32)
+    if lib is None:
+        from graspnet_tpu.postproc.voxel import voxel_down_sample
+
+        return voxel_down_sample(pts, voxel)
+    out = np.empty_like(pts)
+    k = lib.gn_voxel_downsample(pts, len(pts), voxel, out)
+    return out[:k].copy()

@@ -99,10 +99,14 @@ class ModelFreeCollisionDetector:
     """Drop-in equivalent of the reference detector (collision_detector.py:10)."""
 
     def __init__(self, scene_points: np.ndarray, voxel_size: float = 0.005):
+        from graspnet_tpu import native
+
         self.voxel_size = voxel_size
         self.finger_width = FINGER_WIDTH
         self.finger_length = FINGER_LENGTH
-        self.scene_points = voxel_down_sample(np.asarray(scene_points), voxel_size)
+        self.scene_points = native.voxel_downsample(
+            np.asarray(scene_points), voxel_size
+        )
 
     def detect(
         self,

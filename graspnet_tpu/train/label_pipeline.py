@@ -127,14 +127,18 @@ def seed_chain(cloud: np.ndarray, cfg: GraspNetConfig):
 
     Returns dict of per-stage indices (each into the PREVIOUS stage's points,
     matching the device contract) and the seed coordinates (sa2 level).
+    Uses the native C++ kernel when available (graspnet_tpu.native).
     """
-    sa1 = fps_numpy(cloud, cfg.sa1.npoint)
-    xyz1 = cloud[sa1]
-    sa2 = fps_numpy(xyz1, cfg.sa2.npoint)
-    xyz2 = xyz1[sa2]
-    sa3 = fps_numpy(xyz2, cfg.sa3.npoint)
-    xyz3 = xyz2[sa3]
-    sa4 = fps_numpy(xyz3, cfg.sa4.npoint)
+    from graspnet_tpu import native
+
+    cloud = np.ascontiguousarray(cloud, dtype=np.float32)
+    sa1 = native.fps(cloud, cfg.sa1.npoint)
+    xyz1 = np.ascontiguousarray(cloud[sa1])
+    sa2 = native.fps(xyz1, cfg.sa2.npoint)
+    xyz2 = np.ascontiguousarray(xyz1[sa2])
+    sa3 = native.fps(xyz2, cfg.sa3.npoint)
+    xyz3 = np.ascontiguousarray(xyz2[sa3])
+    sa4 = native.fps(xyz3, cfg.sa4.npoint)
     return {"sa1": sa1, "sa2": sa2, "sa3": sa3, "sa4": sa4}, xyz2
 
 
@@ -205,11 +209,9 @@ def build_scene_labels(
     point_local = np.concatenate(point_local)
 
     # seed -> nearest merged label point (label_generation.py:84-94)
-    d2 = np.sum(
-        (seed_xyz[:, None, :].astype(np.float32) - points_merged[None, :, :]) ** 2,
-        axis=-1,
-    )
-    nn = np.argmin(d2, axis=1)  # (Ns,)
+    from graspnet_tpu import native
+
+    nn = native.nearest(seed_xyz.astype(np.float32), points_merged)  # (Ns,)
     seed_obj = point_obj[nn]
     seed_local = point_local[nn]
 

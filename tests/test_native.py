@@ -1,0 +1,71 @@
+"""Native C++ host kernel parity tests (vs the numpy reference paths)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from graspnet_tpu import native
+from graspnet_tpu.postproc.voxel import voxel_down_sample
+from graspnet_tpu.train.label_pipeline import fps_numpy
+
+
+needs_native = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+@needs_native
+class TestNativeFPS:
+    def test_matches_numpy(self, rng):
+        pts = rng.uniform(-0.5, 0.5, (800, 3)).astype(np.float32)
+        pts[rng.choice(800, 10, replace=False)] *= 1e-3  # near-origin skips
+        want = fps_numpy(pts, 128)
+        lib = native.get_lib()
+        got = np.empty(128, dtype=np.int32)
+        lib.gn_fps(np.ascontiguousarray(pts), 800, 128, got)
+        np.testing.assert_array_equal(got, want)
+
+    def test_batch(self, rng):
+        pts = rng.uniform(-0.5, 0.5, (3, 400, 3)).astype(np.float32)
+        lib = native.get_lib()
+        out = np.empty((3, 64), dtype=np.int32)
+        lib.gn_fps_batch(np.ascontiguousarray(pts), 3, 400, 64, out)
+        for b in range(3):
+            np.testing.assert_array_equal(out[b], fps_numpy(pts[b], 64))
+
+
+@needs_native
+class TestNativeNearest:
+    def test_matches_argmin(self, rng):
+        q = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
+        r = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+        want = np.argmin(
+            np.sum((q[:, None] - r[None]) ** 2, axis=-1), axis=1
+        ).astype(np.int32)
+        got = native.nearest(q, r)
+        np.testing.assert_array_equal(got, want)
+
+
+@needs_native
+class TestNativeVoxel:
+    def test_same_cells_and_centroids(self, rng):
+        pts = rng.uniform(0, 0.2, (3000, 3)).astype(np.float32)
+        a = native.voxel_downsample(pts, 0.02)
+        b = voxel_down_sample(pts, 0.02)
+        assert len(a) == len(b)
+        # order differs; compare as sorted sets
+        a_sorted = a[np.lexsort(a.T)]
+        b_sorted = b[np.lexsort(b.T)]
+        np.testing.assert_allclose(a_sorted, b_sorted, atol=1e-5)
+
+
+def test_fallbacks_work_regardless(rng):
+    """The public wrappers must work whether or not the lib built."""
+    pts = rng.uniform(-0.5, 0.5, (300, 3)).astype(np.float32)
+    idx = native.fps(pts, 32)
+    assert idx.shape == (32,) and idx[0] == 0
+    nn = native.nearest(pts[:10], pts)
+    np.testing.assert_array_equal(nn, np.arange(10))
+    vox = native.voxel_downsample(pts, 0.05)
+    assert 0 < len(vox) <= len(pts)
