@@ -19,14 +19,18 @@ from graspnet_tpu.sensors.cameras import load_intrinsics_txt
 def deproject_masked_points(
     mask: np.ndarray, depth_m: np.ndarray, K: np.ndarray
 ) -> np.ndarray:
-    """Back-project masked pixels to 3D (reference grasp_segmentation.py:61-75)."""
-    v, u = np.nonzero(mask)
-    z = depth_m[v, u]
-    valid = z > 0
-    u, v, z = u[valid], v[valid], z[valid]
-    x = (u - K[0, 2]) * z / K[0, 0]
-    y = (v - K[1, 2]) * z / K[1, 1]
-    return np.stack([x, y, z], axis=1).astype(np.float32)
+    """Back-project masked pixels to 3D (reference grasp_segmentation.py:61-75).
+
+    K-matrix convenience wrapper over data.camera.deproject_masked_points;
+    depth is in meters (scale=1).
+    """
+    from graspnet_tpu.data.camera import CameraInfo
+    from graspnet_tpu.data.camera import deproject_masked_points as _deproject
+
+    cam = CameraInfo(
+        depth_m.shape[1], depth_m.shape[0], K[0, 0], K[1, 1], K[0, 2], K[1, 2], 1.0
+    )
+    return _deproject(mask, depth_m, cam)
 
 
 def main():

@@ -38,6 +38,27 @@ def create_point_cloud_from_depth_image(
     return cloud if organized else cloud.reshape(-1, 3)
 
 
+def deproject_masked_points(
+    mask: np.ndarray, depth: np.ndarray, camera: CameraInfo
+) -> np.ndarray:
+    """Back-project only the pixels selected by a boolean/label mask.
+
+    Vectorized equivalent of the reference's per-pixel
+    rs2_deproject_pixel_to_point loop (grasp_segmentation.py:61-75): pixels
+    with zero depth are dropped; returns (K, 3) float32 points in meters.
+    """
+    if mask is None or depth is None:
+        return np.zeros((0, 3), np.float32)
+    assert mask.shape == depth.shape, (mask.shape, depth.shape)
+    ys, xs = np.nonzero(mask)
+    z = depth[ys, xs] / camera.scale
+    valid = z > 0
+    xs, ys, z = xs[valid], ys[valid], z[valid]
+    x = (xs - camera.cx) * z / camera.fx
+    y = (ys - camera.cy) * z / camera.fy
+    return np.stack([x, y, z], axis=-1).astype(np.float32)
+
+
 def transform_point_cloud_np(cloud: np.ndarray, transform: np.ndarray) -> np.ndarray:
     """(N,3) x (3,3)|(3,4)|(4,4) -> (N,3)."""
     if transform.shape == (3, 3):

@@ -11,8 +11,16 @@ from graspnet_tpu.postproc.grasp import Grasp, GraspGroup, GRASP_ARRAY_LEN
 from graspnet_tpu.postproc.nms import grasp_nms
 from graspnet_tpu.postproc.collision import ModelFreeCollisionDetector, collision_ious
 from graspnet_tpu.postproc.voxel import voxel_down_sample
+from graspnet_tpu.postproc.gripper import (
+    gripper_mesh,
+    grasp_group_meshes,
+    save_meshes_ply,
+)
 
 __all__ = [
+    "gripper_mesh",
+    "grasp_group_meshes",
+    "save_meshes_ply",
     "Grasp",
     "GraspGroup",
     "GRASP_ARRAY_LEN",

@@ -117,6 +117,25 @@ class GraspGroup:
         )
         return GraspGroup(self.grasp_group_array[keep])
 
+    # ---- visualization ----
+    def meshes(self):
+        """Gripper meshes, one (vertices, triangles, rgb) per grasp."""
+        from graspnet_tpu.postproc.gripper import grasp_group_meshes
+
+        return grasp_group_meshes(self)
+
+    def to_open3d_geometry_list(self):
+        """graspnetAPI-compatible open3d mesh list (open3d required)."""
+        from graspnet_tpu.postproc.gripper import to_open3d_geometry_list
+
+        return to_open3d_geometry_list(self)
+
+    def save_ply(self, path: str) -> None:
+        """Dump all gripper meshes to one PLY file for offline viewing."""
+        from graspnet_tpu.postproc.gripper import save_meshes_ply
+
+        save_meshes_ply(self.meshes(), path)
+
     # ---- IO ----
     def save_npy(self, path: str) -> None:
         np.save(path, self.grasp_group_array)
