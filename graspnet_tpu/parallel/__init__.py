@@ -1,5 +1,15 @@
 """Device-mesh / sharding helpers."""
 
 from graspnet_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from graspnet_tpu.parallel.candidate import (
+    candidate_sharded_infer,
+    data_parallel_infer,
+)
 
-__all__ = ["make_mesh", "shard_batch", "replicate"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "candidate_sharded_infer",
+    "data_parallel_infer",
+]

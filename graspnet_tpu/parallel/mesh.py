@@ -25,20 +25,21 @@ def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data",),
     devices: Optional[Sequence[Any]] = None,
+    shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """1-D (or reshaped N-D) mesh over the first n devices."""
+    """Mesh over the first n devices.
+
+    1-D by default; pass `shape` for multi-axis meshes, e.g.
+    make_mesh(8, ("data", "candidate"), shape=(2, 4)) — scenes over hosts,
+    candidate blocks within.
+    """
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devs = devs[:n_devices]
-    if len(axis_names) == 1:
-        arr = np.array(devs)
-    else:
-        # fill trailing axes first; leading axis gets the remainder
-        trailing = 1
-        for _ in axis_names[1:]:
-            trailing *= 1
-        arr = np.array(devs).reshape((len(devs),) + (1,) * (len(axis_names) - 1))
-    return Mesh(arr, axis_names)
+    if shape is None:
+        shape = (len(devs),) + (1,) * (len(axis_names) - 1)
+    assert len(shape) == len(axis_names), (shape, axis_names)
+    return Mesh(np.array(devs).reshape(tuple(shape)), axis_names)
 
 
 def shard_batch(mesh: Mesh, tree: Any, axis: str = "data") -> Any:

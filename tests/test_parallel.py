@@ -1,0 +1,84 @@
+"""Sharded-inference parity tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graspnet_tpu.config import GraspNetConfig
+from graspnet_tpu.models import graspnet_forward, init_graspnet, pred_decode
+from graspnet_tpu.parallel.candidate import (
+    candidate_sharded_infer,
+    data_parallel_infer,
+)
+from graspnet_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = GraspNetConfig.tiny()
+    params = init_graspnet(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def reference_infer(params, cloud, cfg):
+    ep = graspnet_forward(params, cloud, cfg, train=False)
+    return pred_decode(ep, cfg)
+
+
+class TestCandidateSharding:
+    def test_matches_unsharded(self, tiny, rng):
+        cfg, params = tiny
+        mesh = make_mesh(8, axis_names=("candidate",))
+        infer = candidate_sharded_infer(cfg, mesh)
+        cloud = jnp.asarray(
+            rng.uniform(-0.3, 0.3, (1, cfg.num_point, 3)), jnp.float32
+        )
+        grasps_s, valid_s = jax.device_get(infer(params, cloud))
+        grasps_r, valid_r = jax.device_get(reference_infer(params, cloud, cfg))
+        np.testing.assert_array_equal(valid_s, valid_r)
+        np.testing.assert_allclose(grasps_s, grasps_r, atol=1e-5, rtol=1e-5)
+
+    def test_rejects_indivisible_axis(self, tiny):
+        cfg, _ = tiny
+        mesh = make_mesh(7, axis_names=("candidate",))
+        with pytest.raises(AssertionError, match="not divisible"):
+            candidate_sharded_infer(cfg, mesh)
+
+    def test_output_sharded_over_seeds(self, tiny, rng):
+        cfg, params = tiny
+        mesh = make_mesh(8, axis_names=("candidate",))
+        infer = candidate_sharded_infer(cfg, mesh)
+        cloud = jnp.asarray(
+            rng.uniform(-0.3, 0.3, (1, cfg.num_point, 3)), jnp.float32
+        )
+        grasps, _ = infer(params, cloud)
+        assert len(grasps.sharding.device_set) == 8
+
+
+class TestHybridSharding:
+    def test_2d_mesh_matches_unsharded(self, tiny, rng):
+        cfg, params = tiny
+        mesh = make_mesh(8, ("data", "candidate"), shape=(2, 4))
+        infer = candidate_sharded_infer(cfg, mesh, data_axis="data")
+        clouds = jnp.asarray(
+            rng.uniform(-0.3, 0.3, (2, cfg.num_point, 3)), jnp.float32
+        )
+        grasps_s, valid_s = jax.device_get(infer(params, clouds))
+        grasps_r, valid_r = jax.device_get(reference_infer(params, clouds, cfg))
+        np.testing.assert_array_equal(valid_s, valid_r)
+        np.testing.assert_allclose(grasps_s, grasps_r, atol=1e-5, rtol=1e-5)
+
+
+class TestDataParallel:
+    def test_matches_unsharded_batch(self, tiny, rng):
+        cfg, params = tiny
+        mesh = make_mesh(8, axis_names=("data",))
+        infer = data_parallel_infer(cfg, mesh)
+        clouds = jnp.asarray(
+            rng.uniform(-0.3, 0.3, (8, cfg.num_point, 3)), jnp.float32
+        )
+        grasps_s, valid_s = jax.device_get(infer(params, clouds))
+        grasps_r, valid_r = jax.device_get(reference_infer(params, clouds, cfg))
+        np.testing.assert_array_equal(valid_s, valid_r)
+        np.testing.assert_allclose(grasps_s, grasps_r, atol=1e-5, rtol=1e-5)
