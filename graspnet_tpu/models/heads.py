@@ -108,6 +108,12 @@ def cylinder_query_multi_depth(
 
     Returns (B, M, D, nsample) int32 indices.
     """
+    if jax.default_backend() == "tpu":
+        from graspnet_tpu.ops.pallas.query import cylinder_query_multi_pallas
+
+        return cylinder_query_multi_pallas(
+            xyz, new_xyz, rot, radius, hmin, tuple(hmax_list), nsample
+        )
     r2 = radius * radius
     ndepth = len(hmax_list)
     hmaxs = jnp.asarray(hmax_list, dtype=xyz.dtype)

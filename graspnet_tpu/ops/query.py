@@ -88,23 +88,33 @@ def _select_first_hits(mask: jax.Array, nsample: int) -> jax.Array:
     return idx.astype(jnp.int32).reshape(*lead, nsample)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "nsample", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("radius", "nsample", "chunk", "use_pallas")
+)
 def ball_query(
     xyz: jax.Array,
     new_xyz: jax.Array,
     radius: float,
     nsample: int,
     chunk: int = 512,
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """Indices of the first <=nsample points within `radius` of each center.
 
     Args:
       xyz: (B, N, 3) candidate points.
       new_xyz: (B, M, 3) query centers.
+      use_pallas: force the Pallas TPU kernel on/off; default auto-detects.
 
     Returns:
       (B, M, nsample) int32 indices into N (first-hit padded).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from graspnet_tpu.ops.pallas.query import ball_query_pallas
+
+        return ball_query_pallas(xyz, new_xyz, radius, nsample)
     r2 = radius * radius
 
     def per_scene(points, centers):

@@ -1,5 +1,10 @@
 """Per-stage device timing of the inference pipeline (run on TPU)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np
@@ -13,13 +18,22 @@ from graspnet_tpu.models.backbone import backbone_forward
 from graspnet_tpu.models import heads
 
 
+def _sync(out):
+    """Force real completion: device_get one element of every output leaf
+    (block_until_ready does not synchronize through the tunneled backend)."""
+    jax.device_get(
+        jax.tree_util.tree_map(lambda x: x.ravel()[:1], out)
+    )
+
+
 def timeit(name, fn, *args, reps=5):
     fn_j = jax.jit(fn)
-    out = jax.block_until_ready(fn_j(*args))  # compile
+    out = fn_j(*args)  # compile
+    _sync(out)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn_j(*args))
+        _sync(fn_j(*args))
         times.append(time.perf_counter() - t0)
     print(f"{name:42s} {np.median(times)*1000:9.2f} ms")
     return out

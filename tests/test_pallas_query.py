@@ -1,0 +1,72 @@
+"""Pallas query-kernel parity vs the XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from graspnet_tpu import ops
+from graspnet_tpu.models.heads import cylinder_query_multi_depth
+from graspnet_tpu.ops.pallas.query import (
+    ball_query_pallas,
+    cylinder_query_multi_pallas,
+)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(3)
+    b, n, m = 2, 500, 16
+    xyz = rng.uniform(-0.3, 0.3, (b, n, 3)).astype(np.float32)
+    centers = xyz[:, :m] + rng.normal(0, 0.01, (b, m, 3)).astype(np.float32)
+    q, _ = np.linalg.qr(rng.normal(size=(b, m, 3, 3)))
+    return jnp.asarray(xyz), jnp.asarray(centers), jnp.asarray(q, jnp.float32)
+
+
+class TestCylinderPallas:
+    def test_matches_xla(self, scene):
+        xyz, centers, rot = scene
+        args = (xyz, centers, rot, 0.05, -0.02, (0.01, 0.02, 0.03, 0.04), 16)
+        ref = cylinder_query_multi_depth(*args, chunk=16)
+        got = cylinder_query_multi_pallas(*args)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    def test_unpadded_n_multiple_of_lane(self, scene):
+        xyz, centers, rot = scene
+        xyz = jnp.pad(xyz, ((0, 0), (0, 12), (0, 0)), constant_values=5.0)
+        args = (xyz, centers, rot, 0.05, -0.02, (0.02, 0.04), 16)
+        ref = cylinder_query_multi_depth(*args, chunk=16)
+        got = cylinder_query_multi_pallas(*args)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    def test_empty_and_overfull_regions(self, scene):
+        xyz, _, rot = scene
+        # one center far away (zero hits -> all-zero row), one at the cloud
+        # mean with a big radius (overfull -> first nsample in index order)
+        centers = jnp.asarray(
+            np.stack(
+                [
+                    np.full((16, 3), 10.0, np.float32),
+                    np.zeros((16, 3), np.float32),
+                ]
+            )
+        )
+        args = (xyz, centers, rot, 0.5, -0.5, (0.5,), 8)
+        ref = cylinder_query_multi_depth(*args, chunk=16)
+        got = cylinder_query_multi_pallas(*args)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+        assert (np.asarray(got)[0] == 0).all()  # far center: empty rows
+
+
+class TestBallPallas:
+    def test_matches_xla(self, scene):
+        xyz, centers, _ = scene
+        ref = ops.ball_query(xyz, centers, 0.1, 16, chunk=16, use_pallas=False)
+        got = ball_query_pallas(xyz, centers, 0.1, 16)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    def test_auto_dispatch_cpu_uses_xla(self, scene):
+        # on CPU the default path must match the explicit XLA path
+        xyz, centers, _ = scene
+        auto = ops.ball_query(xyz, centers, 0.1, 16, chunk=16)
+        ref = ops.ball_query(xyz, centers, 0.1, 16, chunk=16, use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(auto), np.asarray(ref))
