@@ -178,6 +178,26 @@ def crop_forward(
     Returns:
       vp_features (B, Ns, D, C), bn stats (train only).
     """
+    if (
+        not train
+        and len(params["mlp"]) == 3
+        and jax.default_backend() == "tpu"
+    ):
+        # fused query+gather+rotate+MLP+pool kernel (eval only: BN folded)
+        from graspnet_tpu.ops.pallas.crop import crop_fused_pallas, fold_bn_eval
+
+        (w1, b1), (w2, b2), (w3, b3) = fold_bn_eval(params["mlp"], cfg.bn_eps)
+        pooled = crop_fused_pallas(
+            pointcloud,
+            seed_xyz,
+            vp_rot,
+            (w1, b1, w2, b2, w3, b3),
+            cfg.cylinder_radius,
+            cfg.hmin,
+            tuple(cfg.hmax_list),
+            cfg.crop_nsample,
+        )
+        return pooled, None
     idx = cylinder_query_multi_depth(
         pointcloud,
         seed_xyz,

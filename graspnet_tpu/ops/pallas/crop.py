@@ -1,0 +1,220 @@
+"""Fully-fused CloudCrop stage as one Pallas TPU kernel (inference path).
+
+Reference CloudCrop (models/modules.py:95-141) = per seed x depth: cylinder
+query -> group 64 points -> center-subtract + rotate into the gripper frame
+-> SharedMLP [3,64,128,256] -> maxpool over samples.  The XLA pipeline
+materializes the (B, Ns, D, S) index tensor and the (B, Ns, D, S, 3) grouped
+offsets in HBM between those steps; here one kernel program per (scene, seed)
+does everything in VMEM:
+
+  * rotated offsets x_r/y_r/z_r over all N points are computed once and
+    reused for all D depth masks AND as the gather source — the selected
+    samples' gripper-frame coordinates are read straight out of them via the
+    same tile-onehot matmul that locates the hit indices (no HBM gather);
+  * batch-norm (eval mode) is pre-folded into the conv weights on the host,
+    so the MLP is three back-to-back MXU matmuls + ReLU;
+  * only the pooled (D, 256) feature block is written back per seed.
+
+Returns bitwise-identical features to the unfused crop_forward eval path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graspnet_tpu.ops.pallas.query import (
+    _LANE,
+    _SENTINEL,
+    _select_first_hits_vmem,
+)
+
+
+def fold_bn_eval(layers: List[Dict[str, Any]], eps: float):
+    """Fold eval-mode BatchNorm into the dense weights.
+
+    relu(bn(x @ W)) == relu(x @ (W * s) + (offset - mean * s)),
+    s = scale / sqrt(var + eps).
+    Returns [(W', b'), ...] with W' (in, out), b' (1, out).
+    """
+    folded = []
+    for layer in layers:
+        w = layer["kernel"]
+        if "bn" in layer:
+            bn = layer["bn"]
+            s = bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)
+            wf = w * s[None, :]
+            bf = bn["offset"] - bn["mean"] * s
+        else:
+            wf = w
+            bf = layer.get("bias", jnp.zeros((w.shape[1],), w.dtype))
+        folded.append((wf, bf[None, :]))
+    return folded
+
+
+def _fiota(shape, dim):
+    """float32 iota via int32 (Mosaic rejects float tpu.iota)."""
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+
+def _crop_kernel(
+    seed_ref,  # SMEM (1, 1, 1, 3)
+    rot_ref,  # SMEM (1, 1, 1, 9)
+    pts_ref,  # VMEM (1, 3*G, 128)
+    w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,  # VMEM folded weights
+    out_ref,  # VMEM (1, 1, D, C3)
+    *,
+    g: int,
+    ns: int,
+    ndepth: int,
+    r2: float,
+    hmin: float,
+    hmaxs: Tuple[float, ...],
+    normalize: float,
+):
+    cx = seed_ref[0, 0, 0, 0]
+    cy = seed_ref[0, 0, 0, 1]
+    cz = seed_ref[0, 0, 0, 2]
+    dx = pts_ref[0, 0:g, :] - cx
+    dy = pts_ref[0, g : 2 * g, :] - cy
+    dz = pts_ref[0, 2 * g : 3 * g, :] - cz
+    # gripper-frame offsets: offset @ R (reference pointnet2_utils.py:527-530
+    # uses the same product for the grouped features as the query mask)
+    x_r = dx * rot_ref[0, 0, 0, 0] + dy * rot_ref[0, 0, 0, 3] + dz * rot_ref[0, 0, 0, 6]
+    y_r = dx * rot_ref[0, 0, 0, 1] + dy * rot_ref[0, 0, 0, 4] + dz * rot_ref[0, 0, 0, 7]
+    z_r = dx * rot_ref[0, 0, 0, 2] + dy * rot_ref[0, 0, 0, 5] + dz * rot_ref[0, 0, 0, 8]
+    yz2 = y_r * y_r + z_r * z_r
+
+    lane_iota = _fiota((ns, _LANE), 1)
+
+    for d in range(ndepth):
+        mask = ((yz2 < r2) & (x_r > hmin) & (x_r < hmaxs[d])).astype(jnp.float32)
+        idx_col, onehot, p_col, valid_col, total = _select_first_hits_vmem(
+            mask, g, ns
+        )
+        del idx_col  # features gathered directly; indices not materialized
+
+        # gather the selected samples' gripper-frame coords: tile rows via
+        # the onehot matmul, then lane-select at p
+        lhot = (lane_iota == p_col).astype(jnp.float32)  # (NS, 128)
+
+        def pick(plane):
+            rows = jax.lax.dot_general(
+                onehot, plane,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (NS, 128)
+            return jnp.sum(rows * lhot, axis=1, keepdims=True)  # (NS, 1)
+
+        sx, sy, sz = pick(x_r), pick(y_r), pick(z_r)
+        # padding: empty slots -> first hit's coords; zero-hit seeds -> point 0
+        first = lambda v: v[0:1, 0:1]  # noqa: E731
+        p0 = (x_r[0:1, 0:1], y_r[0:1, 0:1], z_r[0:1, 0:1])
+        sx = jnp.where(total > 0.0, jnp.where(valid_col, sx, first(sx)), p0[0])
+        sy = jnp.where(total > 0.0, jnp.where(valid_col, sy, first(sy)), p0[1])
+        sz = jnp.where(total > 0.0, jnp.where(valid_col, sz, first(sz)), p0[2])
+        if normalize != 1.0:
+            sx = sx * normalize
+            sy = sy * normalize
+            sz = sz * normalize
+
+        # MLP layer 1 (K=3): broadcast-sum, keeps the MXU out of a K=3 matmul
+        h = jax.nn.relu(
+            sx * w1_ref[0:1, :] + sy * w1_ref[1:2, :] + sz * w1_ref[2:3, :]
+            + b1_ref[0:1, :]
+        )  # (NS, C1)
+        h = jax.nn.relu(
+            jnp.dot(h, w2_ref[:, :], preferred_element_type=jnp.float32)
+            + b2_ref[0:1, :]
+        )  # (NS, C2)
+        h = jax.nn.relu(
+            jnp.dot(h, w3_ref[:, :], preferred_element_type=jnp.float32)
+            + b3_ref[0:1, :]
+        )  # (NS, C3)
+        pooled = jnp.max(h, axis=0, keepdims=True)  # (1, C3)
+        out_ref[0, 0, pl.ds(d, 1), :] = pooled
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "hmin", "hmax_list", "nsample", "normalize"),
+)
+def crop_fused_pallas(
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    rot: jax.Array,
+    folded_w: Tuple[jax.Array, ...],
+    radius: float,
+    hmin: float,
+    hmax_list: Tuple[float, ...],
+    nsample: int,
+    normalize: float = 1.0,
+) -> jax.Array:
+    """Fused CloudCrop: (B, Ns, D, C3) pooled features.
+
+    Args:
+      xyz: (B, N, 3) full cloud.
+      new_xyz: (B, Ns, 3) crop centers.
+      rot: (B, Ns, 3, 3) approach rotations.
+      folded_w: (w1, b1, w2, b2, w3, b3) BN-folded MLP weights (fold_bn_eval).
+      normalize: scale applied to gripper-frame offsets before the MLP
+        (1.0 matches the reference CloudCrop, which does not normalize).
+    """
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    ndepth = len(hmax_list)
+    g = -(-n // _LANE)
+    c3 = folded_w[4].shape[1]
+
+    planes = jnp.transpose(xyz, (0, 2, 1))
+    if g * _LANE != n:
+        planes = jnp.pad(
+            planes, ((0, 0), (0, 0), (0, g * _LANE - n)),
+            constant_values=_SENTINEL,
+        )
+    planes = planes.reshape(b, 3 * g, _LANE)
+
+    kernel = functools.partial(
+        _crop_kernel,
+        g=g,
+        ns=nsample,
+        ndepth=ndepth,
+        r2=radius * radius,
+        hmin=hmin,
+        hmaxs=tuple(hmax_list),
+        normalize=normalize,
+    )
+    w1, b1, w2, b2, w3, b3 = folded_w
+    const = lambda i, j: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(b, m),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, 3), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, 9), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 3 * g, _LANE), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(w1.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w3.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b3.shape, const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, ndepth, c3), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, m, ndepth, c3), jnp.float32),
+    )(new_xyz[:, :, None, :], rot.reshape(b, m, 9)[:, :, None, :], planes,
+      w1, b1, w2, b2, w3, b3)

@@ -36,6 +36,63 @@ _LANE = 128
 _SENTINEL = 1.0e9  # padding coordinate: fails every radius test
 
 
+def _fiota(shape, dim):
+    """float32 iota via int32 (Mosaic rejects float tpu.iota)."""
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+
+def _select_first_hits_vmem(mask: jax.Array, g: int, ns: int):
+    """First-ns-hits selection on a (G, 128) VMEM-resident mask.
+
+    Returns (idx_col (NS,1) f32 final indices with first-hit/zero padding,
+    onehot (G, NS) tile-selector for row gathers, p_col (NS,1) in-tile lane
+    positions, valid_col (NS,1) bool slot-has-real-hit, total (1,1) f32).
+    """
+    lane_i = _fiota((_LANE, _LANE), 0)
+    lane_j = _fiota((_LANE, _LANE), 1)
+    ut = (lane_i <= lane_j).astype(jnp.float32)
+
+    giota_col = _fiota((g, 1), 0)
+    giota_gs = _fiota((g, ns), 0)
+    slots_row = _fiota((1, ns), 1) + 1.0
+    slots_col = _fiota((ns, 1), 0) + 1.0
+    thresh = _fiota((ns, _LANE), 0) + 1.0
+
+    local = jnp.dot(mask, ut, preferred_element_type=jnp.float32)  # (G,128)
+    segtot = local[:, _LANE - 1 :]  # (G,1) hits per tile
+    gi = _fiota((g, g), 0)
+    gj = _fiota((g, g), 1)
+    lt = (gj <= gi).astype(jnp.float32)
+    segend = jnp.dot(lt, segtot, preferred_element_type=jnp.float32)  # (G,1)
+    r_global = local + (segend - segtot)  # inclusive global running count
+    total = segend[g - 1 :, 0:1]  # (1,1)
+
+    gstar_row = jnp.sum(
+        (segend < slots_row).astype(jnp.float32), axis=0, keepdims=True
+    )
+    gstar_row = jnp.minimum(gstar_row, float(g - 1))
+    onehot = (giota_gs == gstar_row).astype(jnp.float32)  # (G, NS)
+    rseg = jax.lax.dot_general(
+        onehot, r_global,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (NS, 128)
+    p_col = jnp.sum((rseg < thresh).astype(jnp.float32), axis=1, keepdims=True)
+    p_col = jnp.minimum(p_col, float(_LANE - 1))
+    gstar_col = jax.lax.dot_general(
+        onehot, giota_col,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    idx_col = gstar_col * float(_LANE) + p_col
+
+    valid_col = slots_col <= total
+    first = idx_col[0:1, 0:1]
+    idx_col = jnp.where(valid_col, idx_col, first)
+    idx_col = jnp.where(total > 0.0, idx_col, 0.0)
+    return idx_col, onehot, p_col, valid_col, total
+
+
 def _query_kernel(
     seed_ref,  # SMEM (1, 1, 1, 3)
     rot_ref,  # SMEM (1, 1, 1, 9) row-major 3x3
@@ -81,17 +138,6 @@ def _query_kernel(
         x_r = dx
         yz2 = dx * dx + dy * dy + dz * dz  # ball: full squared distance
 
-    # in-tile inclusive prefix over lanes: mask @ upper-tri ones
-    lane_i = jax.lax.broadcasted_iota(jnp.float32, (_LANE, _LANE), 0)
-    lane_j = jax.lax.broadcasted_iota(jnp.float32, (_LANE, _LANE), 1)
-    ut = (lane_i <= lane_j).astype(jnp.float32)  # (128, 128)
-
-    giota_col = jax.lax.broadcasted_iota(jnp.float32, (g, 1), 0)  # (G, 1)
-    giota_gs = jax.lax.broadcasted_iota(jnp.float32, (g, ns), 0)  # (G, NS)
-    slots_row = jax.lax.broadcasted_iota(jnp.float32, (1, ns), 1) + 1.0
-    slots_col = jax.lax.broadcasted_iota(jnp.float32, (ns, 1), 0) + 1.0
-    thresh = jax.lax.broadcasted_iota(jnp.float32, (ns, _LANE), 0) + 1.0
-
     for d in range(ndepth):
         if rotate:
             mask = (
@@ -99,47 +145,7 @@ def _query_kernel(
             ).astype(jnp.float32)
         else:
             mask = (yz2 < r2).astype(jnp.float32)
-
-        local = jnp.dot(mask, ut, preferred_element_type=jnp.float32)  # (G,128)
-        segtot = local[:, _LANE - 1 :]  # (G, 1) hits per tile
-        # cumulative hits through tile g: lower-tri (G,G) @ (G,1)
-        gi = jax.lax.broadcasted_iota(jnp.float32, (g, g), 0)
-        gj = jax.lax.broadcasted_iota(jnp.float32, (g, g), 1)
-        lt = (gj <= gi).astype(jnp.float32)
-        segend = jnp.dot(lt, segtot, preferred_element_type=jnp.float32)  # (G,1)
-        segoff = segend - segtot
-        r_global = local + segoff  # inclusive global running count
-
-        total = segend[g - 1 :, 0:1]  # (1, 1)
-
-        # tile holding hit s: #tiles with cumulative count < s
-        gstar_row = jnp.sum(
-            (segend < slots_row).astype(jnp.float32), axis=0, keepdims=True
-        )  # (1, NS)
-        gstar_row = jnp.minimum(gstar_row, float(g - 1))
-        onehot = (giota_gs == gstar_row).astype(jnp.float32)  # (G, NS)
-        # gather the running-count rows of those tiles: (NS, 128)
-        rseg = jax.lax.dot_general(
-            onehot,
-            r_global,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # in-tile position of hit s: #lanes with running count < s
-        p_col = jnp.sum((rseg < thresh).astype(jnp.float32), axis=1, keepdims=True)
-        p_col = jnp.minimum(p_col, float(_LANE - 1))
-        gstar_col = jax.lax.dot_general(
-            onehot,
-            giota_col,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (NS, 1)
-        idx_col = gstar_col * float(_LANE) + p_col
-
-        # first-hit padding for empty slots; all-empty rows -> 0
-        first = idx_col[0:1, 0:1]
-        idx_col = jnp.where(slots_col <= total, idx_col, first)
-        idx_col = jnp.where(total > 0.0, idx_col, 0.0)
+        idx_col, _, _, _, _ = _select_first_hits_vmem(mask, g, ns)
         out_ref[0, 0, :, pl.ds(d, 1)] = idx_col
 
 

@@ -1,0 +1,69 @@
+"""Fused CloudCrop kernel parity vs the unfused eval path (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graspnet_tpu.config import GraspNetConfig
+from graspnet_tpu.models import heads
+from graspnet_tpu.nn import layers as nn
+from graspnet_tpu.ops.pallas.crop import crop_fused_pallas, fold_bn_eval
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = GraspNetConfig.tiny()
+    rng = np.random.default_rng(0)
+    params = {"mlp": nn.shared_mlp_init(jax.random.PRNGKey(0), cfg.crop_mlp)}
+    for l in params["mlp"]:  # non-trivial BN stats so folding is exercised
+        for k, lo, hi in (("mean", -0.1, 0.1), ("var", 0.5, 2.0),
+                          ("scale", 0.5, 1.5), ("offset", -0.1, 0.1)):
+            l["bn"][k] = jnp.asarray(
+                rng.uniform(lo, hi, l["bn"][k].shape), jnp.float32
+            )
+    b, n, m = 2, cfg.num_point, cfg.num_seed
+    xyz = jnp.asarray(rng.uniform(-0.3, 0.3, (b, n, 3)), jnp.float32)
+    seeds = jnp.asarray(
+        np.asarray(xyz[:, :m]) + rng.normal(0, 0.005, (b, m, 3)).astype(np.float32)
+    )
+    q, _ = np.linalg.qr(rng.normal(size=(b, m, 3, 3)))
+    return cfg, params, xyz, seeds, jnp.asarray(q, jnp.float32)
+
+
+def test_fold_bn_eval_matches_layers(setup):
+    cfg, params, *_ = setup
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (5, cfg.crop_mlp[0])), jnp.float32)
+    ref, _ = nn.shared_mlp(params["mlp"], x, train=False, eps=cfg.bn_eps)
+    h = x
+    for w, b in fold_bn_eval(params["mlp"], cfg.bn_eps):
+        h = jax.nn.relu(h @ w + b[0])
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(h), atol=1e-5)
+
+
+def test_fused_crop_matches_unfused(setup):
+    cfg, params, xyz, seeds, rot = setup
+    ref, _ = heads.crop_forward(params, seeds, xyz, rot, cfg, train=False)
+    folded = fold_bn_eval(params["mlp"], cfg.bn_eps)
+    fw = tuple(x for pair in folded for x in pair)
+    got = crop_fused_pallas(
+        xyz, seeds, rot, fw,
+        cfg.cylinder_radius, cfg.hmin, tuple(cfg.hmax_list), cfg.crop_nsample,
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+
+def test_fused_crop_empty_seed(setup):
+    """A seed far outside the cloud must reproduce the all-index-0 crop."""
+    cfg, params, xyz, seeds, rot = setup
+    far = jnp.full_like(seeds, 10.0)
+    ref, _ = heads.crop_forward(params, far, xyz, rot, cfg, train=False)
+    folded = fold_bn_eval(params["mlp"], cfg.bn_eps)
+    fw = tuple(x for pair in folded for x in pair)
+    got = crop_fused_pallas(
+        xyz, far, rot, fw,
+        cfg.cylinder_radius, cfg.hmin, tuple(cfg.hmax_list), cfg.crop_nsample,
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
