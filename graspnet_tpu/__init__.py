@@ -50,6 +50,26 @@ def _enable_persistent_compilation_cache() -> None:
         pass
 
 
+def _honor_jax_platforms_env() -> None:
+    """Make JAX_PLATFORMS work even when a site hook force-set the platform
+    list via jax.config at interpreter start (which shadows the env var).
+    Lets users run any CLI on CPU with JAX_PLATFORMS=cpu when no accelerator
+    is reachable."""
+    import os
+
+    env = os.environ.get("JAX_PLATFORMS")
+    if not env:
+        return
+    try:
+        import jax
+
+        if jax.config.jax_platforms != env:
+            jax.config.update("jax_platforms", env)
+    except Exception:  # noqa: BLE001
+        pass
+
+
+_honor_jax_platforms_env()
 _enable_persistent_compilation_cache()
 
 from graspnet_tpu.config import GraspNetConfig  # noqa: F401,E402

@@ -60,6 +60,10 @@ def main():
     parser.add_argument("--top_k", type=int, default=50)
     parser.add_argument("--dump", default=None, help="save grasps to .npy")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--profile_dir", default=None,
+        help="capture an XLA device trace of the frame here",
+    )
     args = parser.parse_args()
 
     cfg = GraspNetConfig(num_point=args.num_point)
@@ -69,12 +73,15 @@ def main():
     scene_cloud = load_frame(args.data_dir)
     print(f"scene points: {len(scene_cloud)}")
     sampled = pipe.sample_cloud(scene_cloud)
-    gg = pipe.run(
-        sampled,
-        scene_cloud=scene_cloud,
-        collision_thresh=args.collision_thresh,
-        top_k=args.top_k,
-    )
+    from graspnet_tpu.utils.tracing import device_trace
+
+    with device_trace(args.profile_dir):
+        gg = pipe.run(
+            sampled,
+            scene_cloud=scene_cloud,
+            collision_thresh=args.collision_thresh,
+            top_k=args.top_k,
+        )
     print(
         f"grasps: {len(gg)}  infer: {pipe.timings.infer_s*1000:.1f}ms  "
         f"collision: {pipe.timings.collision_s*1000:.1f}ms"

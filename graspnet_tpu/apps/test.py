@@ -36,6 +36,10 @@ def parse_args():
     p.add_argument("--num_workers", type=int, default=30, help="eval processes")
     p.add_argument("--skip_eval", action="store_true")
     p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument(
+        "--profile_dir", default=None,
+        help="capture an XLA device trace of the inference loop here",
+    )
     return p.parse_args()
 
 
@@ -47,23 +51,34 @@ def inference(args, cfg) -> None:
     pipe = GraspPipeline(cfg=cfg, checkpoint_path=args.checkpoint_path)
     print(f"compile: {pipe.warmup():.1f}s; frames: {len(dataset)}")
 
+    from graspnet_tpu.utils.tracing import StageTimer, device_trace
+
     n = len(dataset) if args.max_frames is None else min(args.max_frames, len(dataset))
+    timer = StageTimer()
     tic = time.time()
-    for i in range(n):
-        sample = dataset.get_data(i)
-        gg = pipe.get_grasps(sample["point_clouds"])
-        if args.collision_thresh > 0:
-            raw_cloud = dataset.get_raw_cloud(i)
-            gg = pipe.collision_filter(
-                gg, raw_cloud, args.collision_thresh, args.voxel_size
-            )
-        scene, frame = dataset.frames[i]
-        save_dir = os.path.join(args.dump_dir, scene, args.camera)
-        os.makedirs(save_dir, exist_ok=True)
-        gg.save_npy(os.path.join(save_dir, f"{frame:04d}.npy"))
-        if (i + 1) % 100 == 0:
-            print(f"{i+1}/{n} frames, {(time.time()-tic)/(i+1)*1000:.1f} ms/frame")
-    print(f"inference done: {(time.time()-tic):.1f}s total")
+    with device_trace(args.profile_dir):
+        for i in range(n):
+            with timer.stage("data"):
+                sample = dataset.get_data(i)
+            with timer.stage("net"):
+                gg = pipe.get_grasps(sample["point_clouds"])
+            if args.collision_thresh > 0:
+                with timer.stage("collision"):
+                    raw_cloud = dataset.get_raw_cloud(i)
+                    gg = pipe.collision_filter(
+                        gg, raw_cloud, args.collision_thresh, args.voxel_size
+                    )
+            with timer.stage("dump"):
+                scene, frame = dataset.frames[i]
+                save_dir = os.path.join(args.dump_dir, scene, args.camera)
+                os.makedirs(save_dir, exist_ok=True)
+                gg.save_npy(os.path.join(save_dir, f"{frame:04d}.npy"))
+            if (i + 1) % 100 == 0:
+                print(
+                    f"{i+1}/{n} frames, {(time.time()-tic)/(i+1)*1000:.1f} "
+                    f"ms/frame  [{timer.report()}]"
+                )
+    print(f"inference done: {(time.time()-tic):.1f}s total  [{timer.report()}]")
 
 
 def evaluate(args) -> None:

@@ -41,6 +41,10 @@ def parse_args():
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--n_devices", type=int, default=None, help="data-parallel width")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument(
+        "--profile_dir", default=None,
+        help="capture an XLA device trace of train steps 10..15 here",
+    )
     return p.parse_args()
 
 
@@ -96,6 +100,15 @@ def main():
         logger.log(f"**** EPOCH {epoch:03d} ****  lr={trainer.opt_state.hyperparams['learning_rate']}")
         t0 = time.time()
         for step, batch in enumerate(train_loader):
+            if args.profile_dir and epoch == start_epoch:
+                # steps 10..15: past compile + warmup, short enough to inspect
+                import jax
+
+                if step == 10:
+                    jax.profiler.start_trace(args.profile_dir)
+                elif step == 15:
+                    jax.profiler.stop_trace()
+                    logger.log(f"device trace saved to {args.profile_dir}")
             loss, metrics = trainer.step(batch)
             logger.accumulate(metrics)
             if (step + 1) % args.log_every == 0:

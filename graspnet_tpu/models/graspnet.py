@@ -54,15 +54,17 @@ def graspnet_forward(
       end_points dict (see SURVEY.md §3.5 for the reference key contract).
     """
     sa_inds = labels.get("sa_inds") if labels else None
-    seed_features, seed_xyz, end_points = backbone_forward(
-        params["backbone"], point_clouds, cfg, train=train, sa_inds=sa_inds
-    )
-    end_points["point_clouds"] = point_clouds
-    end_points.update(
-        heads.approach_forward(
-            params["approach"], seed_xyz, seed_features, cfg, train=train
+    with jax.named_scope("backbone"):
+        seed_features, seed_xyz, end_points = backbone_forward(
+            params["backbone"], point_clouds, cfg, train=train, sa_inds=sa_inds
         )
-    )
+    end_points["point_clouds"] = point_clouds
+    with jax.named_scope("approach"):
+        end_points.update(
+            heads.approach_forward(
+                params["approach"], seed_xyz, seed_features, cfg, train=train
+            )
+        )
 
     input_xyz = end_points["input_xyz"]
     if train:
@@ -78,17 +80,19 @@ def graspnet_forward(
         crop_rot = end_points["grasp_top_view_rot"]
         crop_seed = end_points["fp2_xyz"]
 
-    vp_features, crop_stats = heads.crop_forward(
-        params["crop"], crop_seed, input_xyz, crop_rot, cfg, train=train
-    )
+    with jax.named_scope("crop"):
+        vp_features, crop_stats = heads.crop_forward(
+            params["crop"], crop_seed, input_xyz, crop_rot, cfg, train=train
+        )
     if train:
         end_points["bn_stats/crop"] = crop_stats
-    end_points.update(
-        heads.operation_forward(params["operation"], vp_features, cfg, train=train)
-    )
-    end_points.update(
-        heads.tolerance_forward(params["tolerance"], vp_features, cfg, train=train)
-    )
+    with jax.named_scope("operation_tolerance"):
+        end_points.update(
+            heads.operation_forward(params["operation"], vp_features, cfg, train=train)
+        )
+        end_points.update(
+            heads.tolerance_forward(params["tolerance"], vp_features, cfg, train=train)
+        )
     return end_points
 
 

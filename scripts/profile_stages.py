@@ -87,6 +87,31 @@ def main():
         centers,
     )
 
+    # per-stage backbone breakdown
+    from graspnet_tpu.models.backbone import _fp_stage, _sa_stage
+
+    bp = params["backbone"]
+    stage_in = {"xyz": cloud, "feat": None}
+    carried = []
+    for name, sa in (("sa1", cfg.sa1), ("sa2", cfg.sa2), ("sa3", cfg.sa3), ("sa4", cfg.sa4)):
+        x, f = stage_in["xyz"], stage_in["feat"]
+        out = timeit(
+            f"{name} ({x.shape[1]}->{sa.npoint}, ns={sa.nsample})",
+            lambda xx, ff=None: _sa_stage(bp[name], sa, xx, ff, train=False, eps=cfg.bn_eps)[:2],
+            *( (x,) if f is None else (x, f) ),
+        )
+        stage_in = {"xyz": out[0], "feat": out[1]}
+        carried.append(out)
+    (s1x, s1f), (s2x, s2f), (s3x, s3f), (s4x, s4f) = carried
+    f1 = timeit(
+        "fp1 (512<-256)",
+        lambda: _fp_stage(bp["fp1"], s3x, s4x, s3f, s4f, train=False, eps=cfg.bn_eps)[0],
+    )
+    timeit(
+        "fp2 (1024<-512)",
+        lambda: _fp_stage(bp["fp2"], s2x, s3x, s2f, f1, train=False, eps=cfg.bn_eps)[0],
+    )
+
     # full backbone
     timeit(
         "backbone full",
