@@ -62,6 +62,34 @@ def _sa_stage(
     if inds is None:
         inds = ops.furthest_point_sample(xyz, sa.npoint)
     new_xyz = ops.gather_points(xyz, inds)
+    if (
+        features is None
+        and not train
+        and sa.normalize_xyz
+        and len(params["mlp"]) == 3
+        and jax.default_backend() == "tpu"
+    ):
+        # xyz-only stage (sa1): fused query+group+normalize+MLP+pool kernel
+        from graspnet_tpu.ops.pallas.crop import sa1_fused_pallas
+
+        pooled = sa1_fused_pallas(
+            xyz, new_xyz, params["mlp"], sa.radius, sa.nsample, eps
+        )
+        return new_xyz, pooled, inds, None
+    if (
+        features is not None
+        and not train
+        and sa.normalize_xyz
+        and len(params["mlp"]) == 3
+        and jax.default_backend() == "tpu"
+    ):
+        # feature-grouping stage (sa2-4): fused kernel with onehot gather
+        from graspnet_tpu.ops.pallas.crop import sa_feat_fused_pallas
+
+        pooled = sa_feat_fused_pallas(
+            xyz, new_xyz, features, params["mlp"], sa.radius, sa.nsample, eps
+        )
+        return new_xyz, pooled, inds, None
     idx = ops.ball_query(xyz, new_xyz, sa.radius, sa.nsample)
     grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
     if sa.normalize_xyz:

@@ -76,6 +76,7 @@ def _crop_kernel(
     hmin: float,
     hmaxs: Tuple[float, ...],
     normalize: float,
+    ball: bool,
 ):
     cx = seed_ref[0, 0, 0, 0]
     cy = seed_ref[0, 0, 0, 1]
@@ -83,17 +84,28 @@ def _crop_kernel(
     dx = pts_ref[0, 0:g, :] - cx
     dy = pts_ref[0, g : 2 * g, :] - cy
     dz = pts_ref[0, 2 * g : 3 * g, :] - cz
-    # gripper-frame offsets: offset @ R (reference pointnet2_utils.py:527-530
-    # uses the same product for the grouped features as the query mask)
-    x_r = dx * rot_ref[0, 0, 0, 0] + dy * rot_ref[0, 0, 0, 3] + dz * rot_ref[0, 0, 0, 6]
-    y_r = dx * rot_ref[0, 0, 0, 1] + dy * rot_ref[0, 0, 0, 4] + dz * rot_ref[0, 0, 0, 7]
-    z_r = dx * rot_ref[0, 0, 0, 2] + dy * rot_ref[0, 0, 0, 5] + dz * rot_ref[0, 0, 0, 8]
-    yz2 = y_r * y_r + z_r * z_r
+    if ball:
+        # SA-stage mode: unrotated offsets, full squared distance mask
+        x_r, y_r, z_r = dx, dy, dz
+        yz2 = dx * dx + dy * dy + dz * dz
+    else:
+        # gripper-frame offsets: offset @ R (reference
+        # pointnet2_utils.py:527-530 uses the same product for the grouped
+        # features as the query mask)
+        x_r = dx * rot_ref[0, 0, 0, 0] + dy * rot_ref[0, 0, 0, 3] + dz * rot_ref[0, 0, 0, 6]
+        y_r = dx * rot_ref[0, 0, 0, 1] + dy * rot_ref[0, 0, 0, 4] + dz * rot_ref[0, 0, 0, 7]
+        z_r = dx * rot_ref[0, 0, 0, 2] + dy * rot_ref[0, 0, 0, 5] + dz * rot_ref[0, 0, 0, 8]
+        yz2 = y_r * y_r + z_r * z_r
 
     lane_iota = _fiota((ns, _LANE), 1)
 
     for d in range(ndepth):
-        mask = ((yz2 < r2) & (x_r > hmin) & (x_r < hmaxs[d])).astype(jnp.float32)
+        if ball:
+            mask = (yz2 < r2).astype(jnp.float32)
+        else:
+            mask = (
+                (yz2 < r2) & (x_r > hmin) & (x_r < hmaxs[d])
+            ).astype(jnp.float32)
         idx_col, onehot, p_col, valid_col, total = _select_first_hits_vmem(
             mask, g, ns
         )
@@ -142,18 +154,21 @@ def _crop_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "hmin", "hmax_list", "nsample", "normalize"),
+    static_argnames=(
+        "radius", "hmin", "hmax_list", "nsample", "normalize", "ball"
+    ),
 )
 def crop_fused_pallas(
     xyz: jax.Array,
     new_xyz: jax.Array,
-    rot: jax.Array,
+    rot: jax.Array | None,
     folded_w: Tuple[jax.Array, ...],
     radius: float,
     hmin: float,
     hmax_list: Tuple[float, ...],
     nsample: int,
     normalize: float = 1.0,
+    ball: bool = False,
 ) -> jax.Array:
     """Fused CloudCrop: (B, Ns, D, C3) pooled features.
 
@@ -188,7 +203,12 @@ def crop_fused_pallas(
         hmin=hmin,
         hmaxs=tuple(hmax_list),
         normalize=normalize,
+        ball=ball,
     )
+    if rot is None:
+        rot_flat = jnp.zeros((b, m, 9), xyz.dtype)
+    else:
+        rot_flat = rot.reshape(b, m, 9)
     w1, b1, w2, b2, w3, b3 = folded_w
     const = lambda i, j: (0, 0)  # noqa: E731
     return pl.pallas_call(
@@ -216,5 +236,181 @@ def crop_fused_pallas(
             (1, 1, ndepth, c3), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, m, ndepth, c3), jnp.float32),
-    )(new_xyz[:, :, None, :], rot.reshape(b, m, 9)[:, :, None, :], planes,
+    )(new_xyz[:, :, None, :], rot_flat[:, :, None, :], planes,
       w1, b1, w2, b2, w3, b3)
+
+
+def _sa_feat_kernel(
+    seed_ref,  # SMEM (1, 1, 1, 3)
+    pts_ref,  # VMEM (1, 3*G, 128)
+    feat_ref,  # VMEM (1, N_pad, C)
+    w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    out_ref,  # VMEM (1, 1, 1, C3)
+    *,
+    g: int,
+    ns: int,
+    r2: float,
+    inv_radius: float,
+):
+    """SA stage with feature grouping (backbone sa2-4, eval mode):
+    ball query -> gather xyz+features -> normalize -> MLP -> maxpool."""
+    cx = seed_ref[0, 0, 0, 0]
+    cy = seed_ref[0, 0, 0, 1]
+    cz = seed_ref[0, 0, 0, 2]
+    dx = pts_ref[0, 0:g, :] - cx
+    dy = pts_ref[0, g : 2 * g, :] - cy
+    dz = pts_ref[0, 2 * g : 3 * g, :] - cz
+    d2 = dx * dx + dy * dy + dz * dz
+    mask = (d2 < r2).astype(jnp.float32)
+
+    idx_col, onehot, p_col, valid_col, total = _select_first_hits_vmem(mask, g, ns)
+
+    # xyz of the selected samples via tile-row gather + lane select
+    lane_iota = _fiota((ns, _LANE), 1)
+    lhot = (lane_iota == p_col).astype(jnp.float32)
+
+    def pick(plane):
+        rows = jax.lax.dot_general(
+            onehot, plane,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sum(rows * lhot, axis=1, keepdims=True)
+
+    sx, sy, sz = pick(dx), pick(dy), pick(dz)
+    first = lambda v: v[0:1, 0:1]  # noqa: E731
+    p0 = (dx[0:1, 0:1], dy[0:1, 0:1], dz[0:1, 0:1])
+    sx = jnp.where(total > 0.0, jnp.where(valid_col, sx, first(sx)), p0[0])
+    sy = jnp.where(total > 0.0, jnp.where(valid_col, sy, first(sy)), p0[1])
+    sz = jnp.where(total > 0.0, jnp.where(valid_col, sz, first(sz)), p0[2])
+    sx = sx * inv_radius
+    sy = sy * inv_radius
+    sz = sz * inv_radius
+
+    # features of the selected samples: onehot-over-N matmul with the FINAL
+    # (padding-applied) indices, exactly what group_points does with them
+    n_pad = g * _LANE
+    nio = _fiota((ns, n_pad), 1)
+    ef = (nio == idx_col).astype(jnp.float32)  # (NS, N_pad)
+    sel_feat = jnp.dot(
+        ef, feat_ref[0, :, :], preferred_element_type=jnp.float32
+    )  # (NS, C)
+
+    # MLP layer 1 over the [xyz | feat] concat: xyz part via broadcast-sum,
+    # feature part as one MXU matmul against W1[3:]
+    h = jax.nn.relu(
+        sx * w1_ref[0:1, :] + sy * w1_ref[1:2, :] + sz * w1_ref[2:3, :]
+        + jnp.dot(sel_feat, w1_ref[3:, :], preferred_element_type=jnp.float32)
+        + b1_ref[0:1, :]
+    )
+    h = jax.nn.relu(
+        jnp.dot(h, w2_ref[:, :], preferred_element_type=jnp.float32)
+        + b2_ref[0:1, :]
+    )
+    h = jax.nn.relu(
+        jnp.dot(h, w3_ref[:, :], preferred_element_type=jnp.float32)
+        + b3_ref[0:1, :]
+    )
+    out_ref[0, 0, 0:1, :] = jnp.max(h, axis=0, keepdims=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "nsample", "eps_")
+)
+def _sa_feat_fused(xyz, new_xyz, features, fw, radius, nsample, eps_):
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    g = -(-n // _LANE)
+    c3 = fw[4].shape[1]
+
+    planes = jnp.transpose(xyz, (0, 2, 1))
+    if g * _LANE != n:
+        planes = jnp.pad(
+            planes, ((0, 0), (0, 0), (0, g * _LANE - n)),
+            constant_values=_SENTINEL,
+        )
+        features = jnp.pad(features, ((0, 0), (0, g * _LANE - n), (0, 0)))
+    planes = planes.reshape(b, 3 * g, _LANE)
+
+    kernel = functools.partial(
+        _sa_feat_kernel,
+        g=g,
+        ns=nsample,
+        r2=radius * radius,
+        inv_radius=1.0 / radius,
+    )
+    w1, b1, w2, b2, w3, b3 = fw
+    const = lambda i, j: (0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, m),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, 3), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 3 * g, _LANE), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, g * _LANE, features.shape[-1]),
+                lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(w1.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w3.shape, const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b3.shape, const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, c3), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, m, 1, c3), jnp.float32),
+    )(new_xyz[:, :, None, :], planes, features, w1, b1, w2, b2, w3, b3)
+    return out[:, :, 0, :]
+
+
+def sa_feat_fused_pallas(
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    features: jax.Array,
+    mlp_layers,
+    radius: float,
+    nsample: int,
+    eps: float,
+) -> jax.Array:
+    """Fused SA stage with feature grouping (backbone sa2-4, eval mode).
+
+    Returns (B, M, mlp[-1]) pooled features.
+    """
+    folded = fold_bn_eval(mlp_layers, eps)
+    fw = tuple(x for pair in folded for x in pair)
+    return _sa_feat_fused(xyz, new_xyz, features, fw, radius, nsample, eps)
+
+
+def sa1_fused_pallas(
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    mlp_layers,
+    radius: float,
+    nsample: int,
+    eps: float,
+) -> jax.Array:
+    """Fused SA stage for xyz-only inputs (backbone sa1, eval mode).
+
+    Ball query + group + center-subtract + /radius normalize + BN-folded
+    SharedMLP + maxpool in one kernel (reference PointnetSAModuleVotes,
+    pointnet2_modules.py:164-272, with normalize_xyz=True).
+
+    Returns (B, M, mlp[-1]) pooled features.
+    """
+    folded = fold_bn_eval(mlp_layers, eps)
+    fw = tuple(x for pair in folded for x in pair)
+    out = crop_fused_pallas(
+        xyz, new_xyz, None, fw,
+        radius, 0.0, (0.0,), nsample,
+        normalize=1.0 / radius, ball=True,
+    )  # (B, M, 1, C)
+    return out[:, :, 0, :]

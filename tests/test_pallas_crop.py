@@ -67,3 +67,53 @@ def test_fused_crop_empty_seed(setup):
         cfg.cylinder_radius, cfg.hmin, tuple(cfg.hmax_list), cfg.crop_nsample,
     )
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
+
+
+class TestFusedSAStages:
+    def _bn_randomize(self, layers, rng):
+        import jax.numpy as jnp
+
+        for l in layers:
+            l["bn"]["mean"] = jnp.asarray(
+                rng.normal(0, 0.1, l["bn"]["mean"].shape), jnp.float32
+            )
+            l["bn"]["var"] = jnp.asarray(
+                rng.uniform(0.5, 2.0, l["bn"]["var"].shape), jnp.float32
+            )
+
+    def test_sa1_fused_matches(self):
+        from graspnet_tpu.models.backbone import _sa_stage
+        from graspnet_tpu.ops.pallas.crop import sa1_fused_pallas
+
+        cfg = GraspNetConfig.tiny()
+        rng = np.random.default_rng(0)
+        params = {"mlp": nn.shared_mlp_init(jax.random.PRNGKey(0), cfg.sa1.mlp)}
+        self._bn_randomize(params["mlp"], rng)
+        xyz = jnp.asarray(rng.uniform(-0.3, 0.3, (2, cfg.num_point, 3)), jnp.float32)
+        new_xyz, ref, _, _ = _sa_stage(
+            params, cfg.sa1, xyz, None, train=False, eps=cfg.bn_eps
+        )
+        got = sa1_fused_pallas(
+            xyz, new_xyz, params["mlp"], cfg.sa1.radius, cfg.sa1.nsample, cfg.bn_eps
+        )
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+    def test_sa_feat_fused_matches(self):
+        from graspnet_tpu.models.backbone import _sa_stage
+        from graspnet_tpu.ops.pallas.crop import sa_feat_fused_pallas
+
+        cfg = GraspNetConfig.tiny()
+        rng = np.random.default_rng(1)
+        params = {"mlp": nn.shared_mlp_init(jax.random.PRNGKey(1), cfg.sa2.mlp)}
+        self._bn_randomize(params["mlp"], rng)
+        n, c = cfg.sa1.npoint, cfg.sa1.mlp[-1]
+        xyz = jnp.asarray(rng.uniform(-0.3, 0.3, (2, n, 3)), jnp.float32)
+        feats = jnp.asarray(rng.normal(0, 1, (2, n, c)), jnp.float32)
+        new_xyz, ref, _, _ = _sa_stage(
+            params, cfg.sa2, xyz, feats, train=False, eps=cfg.bn_eps
+        )
+        got = sa_feat_fused_pallas(
+            xyz, new_xyz, feats, params["mlp"],
+            cfg.sa2.radius, cfg.sa2.nsample, cfg.bn_eps,
+        )
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
