@@ -43,10 +43,32 @@ def knn(ref: jax.Array, query: jax.Array, k: int) -> jax.Array:
 
     def per_scene(r, q):
         d2 = _pairwise_d2(q, r)
+        if k <= 4:
+            return _iter_min_k(d2, k)[1]
         _, idx = lax.top_k(-d2, k)
         return idx.astype(jnp.int32)
 
     return jax.vmap(per_scene)(ref, query)
+
+
+def _iter_min_k(d2: jax.Array, k: int):
+    """k smallest per row by k argmin passes (k small).
+
+    lax.top_k lowers to a full sort over the row on TPU; for k<=4 masking
+    out the winner and re-reducing is ~10x cheaper.  First-occurrence argmin
+    reproduces the CUDA running-min tie order (earliest index wins, equal
+    distances ordered by index).
+    """
+    m = d2.shape[-1]
+    col = lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+    dists, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmin(d2, axis=-1)
+        d = jnp.take_along_axis(d2, i[..., None], axis=-1)[..., 0]
+        dists.append(d)
+        idxs.append(i.astype(jnp.int32))
+        d2 = jnp.where(col == i[..., None], jnp.inf, d2)
+    return jnp.stack(dists, axis=-1), jnp.stack(idxs, axis=-1)
 
 
 @jax.jit
@@ -67,8 +89,8 @@ def three_nn(unknown: jax.Array, known: jax.Array):
 
     def per_scene(u, kpts):
         d2 = _pairwise_d2(u, kpts)
-        neg, idx = lax.top_k(-d2, 3)
-        return jnp.sqrt(-neg), idx.astype(jnp.int32)
+        dist2, idx = _iter_min_k(d2, 3)
+        return jnp.sqrt(dist2), idx
 
     return jax.vmap(per_scene)(unknown, known)
 

@@ -34,7 +34,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fps_kernel(n: int, npoint: int, xyz_ref, out_ref, mind_ref):
-    # xyz_ref: (1, 8, npad) f32 (rows 0..2 = x,y,z); out_ref: (1, npoint_pad) i32
+    # xyz_ref: (1, 8, npad) f32 (rows 0..2 = x,y,z); out_ref: (1, 1, npoint_pad) i32
     npad = xyz_ref.shape[-1]
     x = xyz_ref[0, 0:1, :]  # (1, npad)
     y = xyz_ref[0, 1:2, :]
@@ -45,7 +45,7 @@ def _fps_kernel(n: int, npoint: int, xyz_ref, out_ref, mind_ref):
     valid = (mag > _NEAR_ORIGIN_SQ) & in_range
 
     mind_ref[:] = jnp.full((1, npad), _INIT_DIST, dtype=jnp.float32)
-    out_ref[0, :] = jnp.zeros((out_ref.shape[-1],), dtype=jnp.int32)
+    out_ref[0, 0, :] = jnp.zeros((out_ref.shape[-1],), dtype=jnp.int32)
 
     def body(j, last):
         onehot = (lane == last).astype(jnp.float32)
@@ -61,7 +61,7 @@ def _fps_kernel(n: int, npoint: int, xyz_ref, out_ref, mind_ref):
         score = jnp.where(valid, new_min, -1.0)
         best = jnp.argmax(score[0, :]).astype(jnp.int32)
         out_lane = lax.broadcasted_iota(jnp.int32, (1, out_ref.shape[-1]), 1)
-        out_ref[0, :] = jnp.where(out_lane[0, :] == j, best, out_ref[0, :])
+        out_ref[0, 0, :] = jnp.where(out_lane[0, :] == j, best, out_ref[0, 0, :])
         return best
 
     lax.fori_loop(1, npoint, body, jnp.int32(0))
@@ -83,9 +83,9 @@ def fps_pallas(xyz: jax.Array, npoint: int) -> jax.Array:
             pl.BlockSpec((1, 8, npad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
-            (1, npoint_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (1, 1, npoint_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, npoint_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, npoint_pad), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, npad), jnp.float32)],
     )(planes)
-    return out[:, :npoint]
+    return out[:, 0, :npoint]
