@@ -22,14 +22,22 @@ from graspnet_tpu.data.camera import CameraInfo, create_point_cloud_from_depth_i
 from graspnet_tpu.apps.pipeline import GraspPipeline
 
 
-def load_frame(data_dir: str, use_workspace_mask: bool = True):
-    """Load the reference demo-data layout: color.png/depth.png/meta.mat
-    (+ workspace_mask.png)."""
+def load_frame(
+    data_dir: str,
+    use_workspace_mask: bool = True,
+    depth_path: str | None = None,
+    meta_path: str | None = None,
+):
+    """Load an RGB-D frame: the reference demo-data layout
+    (color.png/depth.png/meta.mat + workspace_mask.png in `data_dir`) or
+    explicit file paths (the zividtest.py calling convention)."""
     import scipy.io as scio
     from PIL import Image
 
-    depth = np.array(Image.open(os.path.join(data_dir, "depth.png")))
-    meta = scio.loadmat(os.path.join(data_dir, "meta.mat"))
+    depth = np.array(
+        Image.open(depth_path or os.path.join(data_dir, "depth.png"))
+    )
+    meta = scio.loadmat(meta_path or os.path.join(data_dir, "meta.mat"))
     intrinsic = meta["intrinsic_matrix"]
     factor_depth = float(np.asarray(meta["factor_depth"]).reshape(-1)[0])
     camera = CameraInfo(
@@ -52,7 +60,9 @@ def load_frame(data_dir: str, use_workspace_mask: bool = True):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--data_dir", required=True)
+    parser.add_argument("--data_dir", default=None)
+    parser.add_argument("--depth_path", default=None, help="explicit depth PNG")
+    parser.add_argument("--meta_path", default=None, help="explicit meta.mat")
     parser.add_argument("--checkpoint_path", default=None)
     parser.add_argument("--num_point", type=int, default=20000)
     parser.add_argument("--collision_thresh", type=float, default=-1.0)
@@ -70,7 +80,11 @@ def main():
     pipe = GraspPipeline(cfg=cfg, checkpoint_path=args.checkpoint_path, seed=args.seed)
     print(f"compile: {pipe.warmup():.1f}s")
 
-    scene_cloud = load_frame(args.data_dir)
+    if not args.data_dir and not (args.depth_path and args.meta_path):
+        raise SystemExit("need --data_dir or --depth_path + --meta_path")
+    scene_cloud = load_frame(
+        args.data_dir or "", depth_path=args.depth_path, meta_path=args.meta_path
+    )
     print(f"scene points: {len(scene_cloud)}")
     sampled = pipe.sample_cloud(scene_cloud)
     from graspnet_tpu.utils.tracing import device_trace

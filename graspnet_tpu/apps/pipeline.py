@@ -92,6 +92,18 @@ class GraspPipeline:
         self.timings.infer_s = time.perf_counter() - t0
         return GraspGroup(grasps[0][valid[0]])
 
+    def get_grasps_batch(self, clouds: np.ndarray) -> list:
+        """Batched inference: (B, num_point, 3) -> list of B GraspGroups.
+
+        Batching frames amortizes kernel-launch overheads — the eval sweep
+        over the 190-scene test split runs ~B times fewer program dispatches.
+        """
+        t0 = time.perf_counter()
+        grasps, valid = self._infer(self.params, jnp.asarray(clouds, jnp.float32))
+        grasps, valid = jax.device_get((grasps, valid))
+        self.timings.infer_s = time.perf_counter() - t0
+        return [GraspGroup(g[v]) for g, v in zip(grasps, valid)]
+
     def collision_filter(
         self,
         gg: GraspGroup,

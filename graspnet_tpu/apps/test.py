@@ -34,6 +34,10 @@ def parse_args():
     p.add_argument("--collision_thresh", type=float, default=0.01)
     p.add_argument("--voxel_size", type=float, default=0.01)
     p.add_argument("--num_workers", type=int, default=30, help="eval processes")
+    p.add_argument(
+        "--batch_size", type=int, default=1,
+        help="frames per device batch (amortizes dispatch overhead)",
+    )
     p.add_argument("--skip_eval", action="store_true")
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument(
@@ -55,27 +59,32 @@ def inference(args, cfg) -> None:
 
     n = len(dataset) if args.max_frames is None else min(args.max_frames, len(dataset))
     timer = StageTimer()
+    bs = max(args.batch_size, 1)
     tic = time.time()
     with device_trace(args.profile_dir):
-        for i in range(n):
+        for start in range(0, n, bs):
+            ids = list(range(start, min(start + bs, n)))
             with timer.stage("data"):
-                sample = dataset.get_data(i)
+                samples = [dataset.get_data(i) for i in ids]
             with timer.stage("net"):
-                gg = pipe.get_grasps(sample["point_clouds"])
-            if args.collision_thresh > 0:
-                with timer.stage("collision"):
-                    raw_cloud = dataset.get_raw_cloud(i)
-                    gg = pipe.collision_filter(
-                        gg, raw_cloud, args.collision_thresh, args.voxel_size
-                    )
-            with timer.stage("dump"):
-                scene, frame = dataset.frames[i]
-                save_dir = os.path.join(args.dump_dir, scene, args.camera)
-                os.makedirs(save_dir, exist_ok=True)
-                gg.save_npy(os.path.join(save_dir, f"{frame:04d}.npy"))
-            if (i + 1) % 100 == 0:
+                clouds = np.stack([s["point_clouds"] for s in samples])
+                ggs = pipe.get_grasps_batch(clouds)
+            for i, gg in zip(ids, ggs):
+                if args.collision_thresh > 0:
+                    with timer.stage("collision"):
+                        raw_cloud = dataset.get_raw_cloud(i)
+                        gg = pipe.collision_filter(
+                            gg, raw_cloud, args.collision_thresh, args.voxel_size
+                        )
+                with timer.stage("dump"):
+                    scene, frame = dataset.frames[i]
+                    save_dir = os.path.join(args.dump_dir, scene, args.camera)
+                    os.makedirs(save_dir, exist_ok=True)
+                    gg.save_npy(os.path.join(save_dir, f"{frame:04d}.npy"))
+            done = ids[-1] + 1
+            if done % 100 < bs:
                 print(
-                    f"{i+1}/{n} frames, {(time.time()-tic)/(i+1)*1000:.1f} "
+                    f"{done}/{n} frames, {(time.time()-tic)/done*1000:.1f} "
                     f"ms/frame  [{timer.report()}]"
                 )
     print(f"inference done: {(time.time()-tic):.1f}s total  [{timer.report()}]")

@@ -12,8 +12,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
-import jax.numpy as jnp
-
 
 @dataclasses.dataclass(frozen=True)
 class SAConfig:
@@ -64,7 +62,6 @@ class GraspNetConfig:
     depth_unit: float = 0.01
 
     # ---- numerics ----
-    compute_dtype: jnp.dtype = jnp.float32  # parity mode; jnp.bfloat16 for speed
     bn_eps: float = 1e-5
 
     @property

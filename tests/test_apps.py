@@ -166,3 +166,16 @@ class TestIO:
         K = np.array([[100.0, 0, 6], [0, 100.0, 5], [0, 0, 1]])
         pts = deproject_masked_points(mask, depth, K)
         np.testing.assert_allclose(pts, [[0.0, 0.0, 0.5]], atol=1e-6)
+
+
+class TestBatchedInference:
+    def test_batch_matches_per_frame(self, rng):
+        cfg = GraspNetConfig.tiny()
+        pipe = GraspPipeline(cfg=cfg, seed=0)
+        clouds = np.stack([scene_cloud(rng, cfg.num_point) for _ in range(3)])
+        batched = pipe.get_grasps_batch(clouds)
+        for i in range(3):
+            single = pipe.get_grasps(clouds[i])
+            np.testing.assert_allclose(
+                batched[i].grasp_group_array, single.grasp_group_array, atol=1e-5
+            )
