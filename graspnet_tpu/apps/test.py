@@ -44,13 +44,17 @@ def parse_args():
         "--profile_dir", default=None,
         help="capture an XLA device trace of the inference loop here",
     )
+    p.add_argument(
+        "--tiny", action="store_true",
+        help="scaled-down model config (smoke tests / CI)",
+    )
     return p.parse_args()
 
 
 def inference(args, cfg) -> None:
     dataset = GraspNetDataset(
         args.dataset_root, camera=args.camera, split=args.split,
-        num_points=args.num_point, remove_outlier=True, load_label=False, cfg=cfg,
+        num_points=cfg.num_point, remove_outlier=True, load_label=False, cfg=cfg,
     )
     pipe = GraspPipeline(cfg=cfg, checkpoint_path=args.checkpoint_path)
     print(f"compile: {pipe.warmup():.1f}s; frames: {len(dataset)}")
@@ -101,7 +105,11 @@ def evaluate(args) -> None:
 
 def main():
     args = parse_args()
-    cfg = GraspNetConfig(num_point=args.num_point)
+    cfg = (
+        GraspNetConfig.tiny()
+        if args.tiny
+        else GraspNetConfig(num_point=args.num_point)
+    )
     inference(args, cfg)
     if not args.skip_eval:
         evaluate(args)

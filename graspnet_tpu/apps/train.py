@@ -45,6 +45,14 @@ def parse_args():
         "--profile_dir", default=None,
         help="capture an XLA device trace of train steps 10..15 here",
     )
+    p.add_argument(
+        "--tiny", action="store_true",
+        help="scaled-down model config (smoke tests / CI)",
+    )
+    p.add_argument(
+        "--num_objects", type=int, default=88,
+        help="object label count (partial/mini datasets)",
+    )
     return p.parse_args()
 
 
@@ -53,7 +61,11 @@ def main():
     os.makedirs(args.log_dir, exist_ok=True)
     logger = MetricLogger(args.log_dir)
 
-    cfg = GraspNetConfig(num_point=args.num_point, num_view=args.num_view)
+    cfg = (
+        GraspNetConfig.tiny()
+        if args.tiny
+        else GraspNetConfig(num_point=args.num_point, num_view=args.num_view)
+    )
     tc = TrainConfig(
         learning_rate=args.learning_rate,
         weight_decay=args.weight_decay,
@@ -65,20 +77,33 @@ def main():
         bn_decay_rate=args.bn_decay_rate,
     )
 
-    valid_objs, grasp_labels = load_grasp_labels(args.dataset_root)
+    valid_objs, grasp_labels = load_grasp_labels(args.dataset_root, num_objects=args.num_objects)
     train_ds = GraspNetDataset(
         args.dataset_root, valid_objs, grasp_labels, camera=args.camera,
-        split="train", num_points=args.num_point, remove_outlier=True,
+        split="train", num_points=cfg.num_point, remove_outlier=True,
         augment=True, cfg=cfg,
     )
     test_ds = GraspNetDataset(
         args.dataset_root, valid_objs, grasp_labels, camera=args.camera,
-        split="test_seen", num_points=args.num_point, remove_outlier=True,
+        split="test_seen", num_points=cfg.num_point, remove_outlier=True,
         augment=False, cfg=cfg,
     )
     logger.log(f"train len: {len(train_ds)}, test len: {len(test_ds)}")
 
-    mesh = make_mesh(args.n_devices)
+    ndev = args.n_devices
+    if ndev is None:
+        # largest device count that divides the global batch — a batch of 2
+        # on an 8-device slice data-parallelizes over 2 devices, not 8
+        import jax
+
+        avail = len(jax.devices())
+        ndev = max(
+            d
+            for d in range(1, min(avail, tc.batch_size) + 1)
+            if tc.batch_size % d == 0
+        )
+    mesh = make_mesh(ndev)
+    logger.log(f"data-parallel mesh: {ndev} device(s)")
     trainer = Trainer(cfg=cfg, tc=tc, mesh=mesh)
     start_epoch = 0
     if args.checkpoint_path and os.path.exists(args.checkpoint_path):
