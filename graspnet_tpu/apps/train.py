@@ -53,6 +53,10 @@ def parse_args():
         "--num_objects", type=int, default=88,
         help="object label count (partial/mini datasets)",
     )
+    p.add_argument(
+        "--label_dtype", default="float32", choices=["float32", "bfloat16"],
+        help="bfloat16 halves the per-step label transfer",
+    )
     return p.parse_args()
 
 
@@ -75,6 +79,7 @@ def main():
         lr_decay_rates=tuple(float(x) for x in args.lr_decay_rates.split(",")),
         bn_decay_step=args.bn_decay_step,
         bn_decay_rate=args.bn_decay_rate,
+        label_dtype=args.label_dtype,
     )
 
     valid_objs, grasp_labels = load_grasp_labels(args.dataset_root, num_objects=args.num_objects)
@@ -124,7 +129,12 @@ def main():
         trainer.set_epoch(epoch)
         logger.log(f"**** EPOCH {epoch:03d} ****  lr={trainer.opt_state.hyperparams['learning_rate']}")
         t0 = time.time()
-        for step, batch in enumerate(train_loader):
+        # double buffering: dispatch the step, then start the NEXT batch's
+        # host->device transfer while the step computes
+        it = iter(train_loader)
+        pending = trainer.put(next(it))
+        step = 0
+        while pending is not None:
             if args.profile_dir and epoch == start_epoch:
                 # steps 10..15: past compile + warmup, short enough to inspect
                 import jax
@@ -134,10 +144,15 @@ def main():
                 elif step == 15:
                     jax.profiler.stop_trace()
                     logger.log(f"device trace saved to {args.profile_dir}")
-            loss, metrics = trainer.step(batch)
-            logger.accumulate(metrics)
-            if (step + 1) % args.log_every == 0:
-                logger.flush("train", epoch * len(train_loader) + step + 1)
+            loss, metrics = trainer.step(pending)  # async dispatch
+            try:
+                pending = trainer.put(next(it))  # overlaps with compute
+            except StopIteration:
+                pending = None
+            logger.accumulate(metrics)  # blocks on this step's results
+            step += 1
+            if step % args.log_every == 0:
+                logger.flush("train", epoch * len(train_loader) + step)
         logger.log(f"epoch train time: {time.time()-t0:.1f}s")
 
         for batch in test_loader:

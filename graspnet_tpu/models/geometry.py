@@ -71,6 +71,40 @@ def batch_viewpoint_params_to_matrix(towards: jax.Array, angle: jax.Array) -> ja
     return jnp.matmul(r2, r1)
 
 
+def batch_viewpoint_params_to_matrix_np(
+    towards: np.ndarray, angle: np.ndarray
+) -> np.ndarray:
+    """Numpy twin of batch_viewpoint_params_to_matrix for host pipelines —
+    never dispatches to a device (a tiny per-object device op through a
+    remote backend costs seconds per scene in the data loader)."""
+    x = np.asarray(towards, np.float32)
+    angle = np.asarray(angle, np.float32)
+    zeros = np.zeros_like(x[..., 0])
+    ones = np.ones_like(x[..., 0])
+    y = np.stack([-x[..., 1], x[..., 0], zeros], axis=-1)
+    y_norm = np.linalg.norm(y, axis=-1, keepdims=True)
+    y = np.where(y_norm == 0, np.array([0.0, 1.0, 0.0], np.float32), y)
+    x = x / np.linalg.norm(x, axis=-1, keepdims=True)
+    y = y / np.linalg.norm(y, axis=-1, keepdims=True)
+    z = np.cross(x, y)
+    sin, cos = np.sin(angle), np.cos(angle)
+    r1 = np.stack(
+        [ones, zeros, zeros, zeros, cos, -sin, zeros, sin, cos], axis=-1
+    ).reshape(*angle.shape, 3, 3)
+    r2 = np.stack([x, y, z], axis=-1)
+    return (r2 @ r1).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def canonical_view_rotations_np(num_view: int) -> np.ndarray:
+    """(V, 3, 3) zero-angle rotations of the -view approach directions —
+    constant per view count, cached for the host label pipeline."""
+    views = generate_grasp_views_np(num_view)
+    return batch_viewpoint_params_to_matrix_np(
+        -views, np.zeros(num_view, np.float32)
+    )
+
+
 def transform_point_cloud(cloud: jax.Array, transform: jax.Array) -> jax.Array:
     """Apply a (3,3) rotation or (3,4)/(4,4) rigid transform to (N,3) points."""
     if transform.shape[-2:] == (3, 3):

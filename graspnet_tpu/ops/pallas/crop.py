@@ -63,11 +63,11 @@ def _fiota(shape, dim):
 
 
 def _crop_kernel(
-    seed_ref,  # SMEM (1, 1, 1, 3)
-    rot_ref,  # SMEM (1, 1, 1, 9)
+    seed_ref,  # SMEM (1, SB, 1, 3)
+    rot_ref,  # SMEM (1, SB, 1, 9)
     pts_ref,  # VMEM (1, 3*G, 128)
     w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,  # VMEM folded weights
-    out_ref,  # VMEM (1, 1, D, C3)
+    out_ref,  # VMEM (1, SB, D, C3)
     *,
     g: int,
     ns: int,
@@ -77,79 +77,90 @@ def _crop_kernel(
     hmaxs: Tuple[float, ...],
     normalize: float,
     ball: bool,
+    sb: int,
 ):
-    cx = seed_ref[0, 0, 0, 0]
-    cy = seed_ref[0, 0, 0, 1]
-    cz = seed_ref[0, 0, 0, 2]
-    dx = pts_ref[0, 0:g, :] - cx
-    dy = pts_ref[0, g : 2 * g, :] - cy
-    dz = pts_ref[0, 2 * g : 3 * g, :] - cz
-    if ball:
-        # SA-stage mode: unrotated offsets, full squared distance mask
-        x_r, y_r, z_r = dx, dy, dz
-        yz2 = dx * dx + dy * dy + dz * dz
-    else:
-        # gripper-frame offsets: offset @ R (reference
-        # pointnet2_utils.py:527-530 uses the same product for the grouped
-        # features as the query mask)
-        x_r = dx * rot_ref[0, 0, 0, 0] + dy * rot_ref[0, 0, 0, 3] + dz * rot_ref[0, 0, 0, 6]
-        y_r = dx * rot_ref[0, 0, 0, 1] + dy * rot_ref[0, 0, 0, 4] + dz * rot_ref[0, 0, 0, 7]
-        z_r = dx * rot_ref[0, 0, 0, 2] + dy * rot_ref[0, 0, 0, 5] + dz * rot_ref[0, 0, 0, 8]
-        yz2 = y_r * y_r + z_r * z_r
-
     lane_iota = _fiota((ns, _LANE), 1)
+    cols_x, cols_y, cols_z = [], [], []
 
-    for d in range(ndepth):
+    for s in range(sb):
+        cx = seed_ref[0, s, 0, 0]
+        cy = seed_ref[0, s, 0, 1]
+        cz = seed_ref[0, s, 0, 2]
+        dx = pts_ref[0, 0:g, :] - cx
+        dy = pts_ref[0, g : 2 * g, :] - cy
+        dz = pts_ref[0, 2 * g : 3 * g, :] - cz
         if ball:
-            mask = (yz2 < r2).astype(jnp.float32)
+            # SA-stage mode: unrotated offsets, full squared distance mask
+            x_r, y_r, z_r = dx, dy, dz
+            yz2 = dx * dx + dy * dy + dz * dz
         else:
-            mask = (
-                (yz2 < r2) & (x_r > hmin) & (x_r < hmaxs[d])
-            ).astype(jnp.float32)
-        idx_col, onehot, p_col, valid_col, total = _select_first_hits_vmem(
-            mask, g, ns
-        )
-        del idx_col  # features gathered directly; indices not materialized
+            # gripper-frame offsets: offset @ R (reference
+            # pointnet2_utils.py:527-530 uses the same product for the
+            # grouped features as the query mask)
+            x_r = dx * rot_ref[0, s, 0, 0] + dy * rot_ref[0, s, 0, 3] + dz * rot_ref[0, s, 0, 6]
+            y_r = dx * rot_ref[0, s, 0, 1] + dy * rot_ref[0, s, 0, 4] + dz * rot_ref[0, s, 0, 7]
+            z_r = dx * rot_ref[0, s, 0, 2] + dy * rot_ref[0, s, 0, 5] + dz * rot_ref[0, s, 0, 8]
+            yz2 = y_r * y_r + z_r * z_r
 
-        # gather the selected samples' gripper-frame coords: tile rows via
-        # the onehot matmul, then lane-select at p
-        lhot = (lane_iota == p_col).astype(jnp.float32)  # (NS, 128)
+        for d in range(ndepth):
+            if ball:
+                mask = (yz2 < r2).astype(jnp.float32)
+            else:
+                mask = (
+                    (yz2 < r2) & (x_r > hmin) & (x_r < hmaxs[d])
+                ).astype(jnp.float32)
+            idx_col, onehot, p_col, valid_col, total = _select_first_hits_vmem(
+                mask, g, ns
+            )
+            del idx_col  # features gathered directly; no index materialized
 
-        def pick(plane):
-            rows = jax.lax.dot_general(
-                onehot, plane,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (NS, 128)
-            return jnp.sum(rows * lhot, axis=1, keepdims=True)  # (NS, 1)
+            # gather the selected samples' gripper-frame coords: tile rows
+            # via the onehot matmul, then lane-select at p
+            lhot = (lane_iota == p_col).astype(jnp.float32)  # (NS, 128)
 
-        sx, sy, sz = pick(x_r), pick(y_r), pick(z_r)
-        # padding: empty slots -> first hit's coords; zero-hit seeds -> point 0
-        first = lambda v: v[0:1, 0:1]  # noqa: E731
-        p0 = (x_r[0:1, 0:1], y_r[0:1, 0:1], z_r[0:1, 0:1])
-        sx = jnp.where(total > 0.0, jnp.where(valid_col, sx, first(sx)), p0[0])
-        sy = jnp.where(total > 0.0, jnp.where(valid_col, sy, first(sy)), p0[1])
-        sz = jnp.where(total > 0.0, jnp.where(valid_col, sz, first(sz)), p0[2])
-        if normalize != 1.0:
-            sx = sx * normalize
-            sy = sy * normalize
-            sz = sz * normalize
+            def pick(plane):
+                rows = jax.lax.dot_general(
+                    onehot, plane,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (NS, 128)
+                return jnp.sum(rows * lhot, axis=1, keepdims=True)  # (NS, 1)
 
-        # MLP layer 1 (K=3): broadcast-sum, keeps the MXU out of a K=3 matmul
-        h = jax.nn.relu(
-            sx * w1_ref[0:1, :] + sy * w1_ref[1:2, :] + sz * w1_ref[2:3, :]
-            + b1_ref[0:1, :]
-        )  # (NS, C1)
-        h = jax.nn.relu(
-            jnp.dot(h, w2_ref[:, :], preferred_element_type=jnp.float32)
-            + b2_ref[0:1, :]
-        )  # (NS, C2)
-        h = jax.nn.relu(
-            jnp.dot(h, w3_ref[:, :], preferred_element_type=jnp.float32)
-            + b3_ref[0:1, :]
-        )  # (NS, C3)
-        pooled = jnp.max(h, axis=0, keepdims=True)  # (1, C3)
-        out_ref[0, 0, pl.ds(d, 1), :] = pooled
+            sx, sy, sz = pick(x_r), pick(y_r), pick(z_r)
+            # padding: empty slots -> first hit; zero-hit seeds -> point 0
+            first = lambda v: v[0:1, 0:1]  # noqa: E731
+            p0 = (x_r[0:1, 0:1], y_r[0:1, 0:1], z_r[0:1, 0:1])
+            sx = jnp.where(total > 0.0, jnp.where(valid_col, sx, first(sx)), p0[0])
+            sy = jnp.where(total > 0.0, jnp.where(valid_col, sy, first(sy)), p0[1])
+            sz = jnp.where(total > 0.0, jnp.where(valid_col, sz, first(sz)), p0[2])
+            cols_x.append(sx)
+            cols_y.append(sy)
+            cols_z.append(sz)
+
+    # one MLP over ALL (seed, depth, sample) rows of the block — (SB*D*NS, C)
+    # matmuls keep the MXU busy instead of SB*D tiny ones
+    sx = jnp.concatenate(cols_x, axis=0)
+    sy = jnp.concatenate(cols_y, axis=0)
+    sz = jnp.concatenate(cols_z, axis=0)
+    if normalize != 1.0:
+        sx = sx * normalize
+        sy = sy * normalize
+        sz = sz * normalize
+    # MLP layer 1 (K=3): broadcast-sum, keeps the MXU out of a K=3 matmul
+    h = jax.nn.relu(
+        sx * w1_ref[0:1, :] + sy * w1_ref[1:2, :] + sz * w1_ref[2:3, :]
+        + b1_ref[0:1, :]
+    )  # (SB*D*NS, C1)
+    h = jax.nn.relu(
+        jnp.dot(h, w2_ref[:, :], preferred_element_type=jnp.float32)
+        + b2_ref[0:1, :]
+    )
+    h = jax.nn.relu(
+        jnp.dot(h, w3_ref[:, :], preferred_element_type=jnp.float32)
+        + b3_ref[0:1, :]
+    )  # (SB*D*NS, C3)
+    pooled = h.reshape(sb, ndepth, ns, h.shape[-1]).max(axis=2)  # (SB, D, C3)
+    out_ref[0, :, :, :] = pooled
 
 
 @functools.partial(
@@ -185,6 +196,7 @@ def crop_fused_pallas(
     ndepth = len(hmax_list)
     g = -(-n // _LANE)
     c3 = folded_w[4].shape[1]
+    sb = 8 if m % 8 == 0 else (4 if m % 4 == 0 else 1)
 
     planes = jnp.transpose(xyz, (0, 2, 1))
     if g * _LANE != n:
@@ -204,6 +216,7 @@ def crop_fused_pallas(
         hmaxs=tuple(hmax_list),
         normalize=normalize,
         ball=ball,
+        sb=sb,
     )
     if rot is None:
         rot_flat = jnp.zeros((b, m, 9), xyz.dtype)
@@ -213,14 +226,14 @@ def crop_fused_pallas(
     const = lambda i, j: (0, 0)  # noqa: E731
     return pl.pallas_call(
         kernel,
-        grid=(b, m),
+        grid=(b, m // sb),
         interpret=jax.default_backend() != "tpu",
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 1, 3), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM
+                (1, sb, 1, 3), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, 1, 1, 9), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM
+                (1, sb, 1, 9), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
                 (1, 3 * g, _LANE), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
@@ -233,7 +246,7 @@ def crop_fused_pallas(
             pl.BlockSpec(b3.shape, const, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, ndepth, c3), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            (1, sb, ndepth, c3), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, m, ndepth, c3), jnp.float32),
     )(new_xyz[:, :, None, :], rot_flat[:, :, None, :], planes,

@@ -52,8 +52,8 @@ def process_grasp_labels(
       grasp_widths   (B, Ns, V, A, D)
       grasp_tolerance(B, Ns, V, A, D)
     """
-    raw = labels["grasp_labels"]
-    widths = labels["grasp_widths"]
+    raw = labels["grasp_labels"].astype(jnp.float32)
+    widths = labels["grasp_widths"].astype(jnp.float32)
     mask = (raw > 0) & (widths <= cfg.grasp_max_width)
     u_max = jnp.max(raw)  # batch-global max, as in the reference
     rescaled = jnp.where(mask, jnp.log(u_max / jnp.where(mask, raw, 1.0)), 0.0)
@@ -71,7 +71,7 @@ def process_grasp_labels(
         "batch_grasp_view_rot": view_rot,
         "batch_grasp_label": rescaled,
         "batch_grasp_width": widths,
-        "batch_grasp_tolerance": labels["grasp_tolerance"],
+        "batch_grasp_tolerance": labels["grasp_tolerance"].astype(jnp.float32),
         "batch_grasp_view_label": view_label,
     }
 
@@ -155,12 +155,7 @@ def assign_views(pose_rot: np.ndarray, num_view: int) -> Tuple[np.ndarray, np.nd
     views_trans = views @ pose_rot.T
     d2 = np.sum((views[:, None, :] - views_trans[None, :, :]) ** 2, axis=-1)
     view_inds = np.argmin(d2, axis=1).astype(np.int32)  # (V,) query=canonical
-    angles = np.zeros(num_view, dtype=np.float32)
-    rots = np.asarray(
-        geometry.batch_viewpoint_params_to_matrix(
-            jnp.asarray(-views), jnp.asarray(angles)
-        )
-    )  # (V, 3, 3)
+    rots = geometry.canonical_view_rotations_np(num_view)  # (V, 3, 3) cached
     rot_trans = np.einsum("ij,vjk->vik", pose_rot, rots)  # pose @ rot
     return view_inds, rot_trans[view_inds]
 

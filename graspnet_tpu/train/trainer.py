@@ -43,6 +43,9 @@ class TrainConfig:
     bn_decay_rate: float = 0.5
     bn_momentum_init: float = 0.5
     bn_momentum_min: float = 0.001
+    # 'bfloat16' halves the (B, Ns, V, A, D) label-slab transfer per step;
+    # 'float32' keeps exact reference label values (SURVEY.md §7 hard part e)
+    label_dtype: str = "float32"
 
 
 def lr_at_epoch(tc: TrainConfig, epoch: int) -> float:
@@ -161,15 +164,43 @@ class Trainer:
         lr = lr_at_epoch(self.tc, epoch)
         self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
 
-    def step(self, batch: Dict[str, np.ndarray]):
-        """One optimization step on a host batch (leading axis = scenes)."""
-        device_batch = shard_batch(self.mesh, batch)
+    # -- host->device feed -------------------------------------------------
+    _LABEL_SLABS = ("grasp_labels", "grasp_widths", "grasp_tolerance")
+
+    def put(self, batch: Dict[str, np.ndarray]):
+        """Asynchronously place a host batch on the mesh.
+
+        device_put returns immediately, so calling put() on the NEXT batch
+        right after dispatching the current step overlaps the ~0.5 GB label
+        transfer with the step's compute (double buffering).  With
+        tc.label_dtype='bfloat16' the three (B, Ns, V, A, D) label slabs
+        ship at half width and are upcast on device (training-label
+        precision only; inference parity is untouched).
+        """
+        if self.tc.label_dtype == "bfloat16":
+            import ml_dtypes
+
+            bf16 = ml_dtypes.bfloat16
+            batch = {
+                k: (v.astype(bf16) if k in self._LABEL_SLABS else v)
+                for k, v in batch.items()
+            }
+        return shard_batch(self.mesh, batch)
+
+    @staticmethod
+    def _on_device(batch) -> bool:
+        leaf = jax.tree_util.tree_leaves(batch)[0]
+        return isinstance(leaf, jax.Array)
+
+    def step(self, batch):
+        """One optimization step on a host or device batch."""
+        device_batch = batch if self._on_device(batch) else self.put(batch)
         momentum = bn_momentum_at_epoch(self.tc, self.epoch)
         self.params, self.opt_state, loss, metrics = self._train_step(
             self.params, self.opt_state, device_batch, jnp.float32(momentum)
         )
         return loss, metrics
 
-    def eval_step(self, batch: Dict[str, np.ndarray]):
-        device_batch = shard_batch(self.mesh, batch)
+    def eval_step(self, batch):
+        device_batch = batch if self._on_device(batch) else self.put(batch)
         return self._eval_step(self.params, device_batch)

@@ -173,3 +173,37 @@ def test_schedules():
     assert bn_momentum_at_epoch(tc, 2) == pytest.approx(0.25)
     assert bn_momentum_at_epoch(tc, 17) == pytest.approx(0.5 * 0.5**8, abs=1e-6) or \
         bn_momentum_at_epoch(tc, 17) == pytest.approx(0.001953125)
+
+
+def test_bfloat16_label_transfer(rng):
+    """bf16 label slabs: half the payload, loss within bf16 tolerance of f32."""
+    from graspnet_tpu.parallel.mesh import make_mesh
+
+    cfg = GraspNetConfig.tiny()
+    batch = make_batch(rng, cfg, 2)
+    t32 = Trainer(cfg=cfg, tc=TrainConfig(), mesh=make_mesh(1), seed=0)
+    t16 = Trainer(
+        cfg=cfg, tc=TrainConfig(label_dtype="bfloat16"), mesh=make_mesh(1), seed=0
+    )
+    t32.set_epoch(0)
+    t16.set_epoch(0)
+    l32, _ = t32.step(dict(batch))
+    l16, _ = t16.step(dict(batch))
+    l32, l16 = float(np.asarray(l32)), float(np.asarray(l16))
+    assert np.isfinite(l16)
+    assert abs(l32 - l16) / max(abs(l32), 1e-6) < 0.02
+
+
+def test_put_then_step_device_batch(rng):
+    """Double-buffer pattern: put() then step() on the device-resident batch."""
+    from graspnet_tpu.parallel.mesh import make_mesh
+
+    cfg = GraspNetConfig.tiny()
+    batch = make_batch(rng, cfg, 2)
+    tr = Trainer(cfg=cfg, tc=TrainConfig(), mesh=make_mesh(2), seed=0)
+    tr.set_epoch(0)
+    dev = tr.put(batch)
+    l1, _ = tr.step(dev)
+    l2, _ = tr.step(batch)  # host batch path still works
+    assert np.isfinite(float(np.asarray(l1)))
+    assert np.isfinite(float(np.asarray(l2)))
