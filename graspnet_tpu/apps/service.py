@@ -175,7 +175,7 @@ def run_ros_node(service_cfg: ServiceConfig, camera_link: str = "camera_link"):
     from geometry_msgs.msg import TransformStamped
     from tf2_ros import TransformBroadcaster
 
-    from graspnet_tpu.sensors.realsense import CameraRealsense
+    from graspnet_tpu.sensors.cameras import CameraRealsense
 
     class GraspServiceNode(Node):
         def __init__(self):

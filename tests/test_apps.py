@@ -179,3 +179,44 @@ class TestBatchedInference:
             np.testing.assert_allclose(
                 batched[i].grasp_group_array, single.grasp_group_array, atol=1e-5
             )
+
+
+def test_no_broken_intra_package_imports():
+    """Every graspnet_tpu.* import (incl. lazy ones in optional code paths)
+    must resolve to a real module."""
+    import ast
+    import os
+
+    import graspnet_tpu
+
+    pkg_root = os.path.dirname(os.path.dirname(graspnet_tpu.__file__))
+    bad = []
+    for root, _, files in os.walk(os.path.join(pkg_root, "graspnet_tpu")):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            p = os.path.join(root, f)
+            tree = ast.parse(open(p).read())
+            for node in ast.walk(tree):
+                mods = []
+                if (
+                    isinstance(node, ast.ImportFrom)
+                    and node.module
+                    and node.module.startswith("graspnet_tpu")
+                ):
+                    mods.append(node.module)
+                elif isinstance(node, ast.Import):
+                    mods.extend(
+                        a.name for a in node.names
+                        if a.name.startswith("graspnet_tpu")
+                    )
+                for m in mods:
+                    rel = m.replace(".", "/")
+                    if not (
+                        os.path.exists(os.path.join(pkg_root, rel + ".py"))
+                        or os.path.exists(
+                            os.path.join(pkg_root, rel, "__init__.py")
+                        )
+                    ):
+                        bad.append((p, m))
+    assert not bad, f"broken imports: {bad}"
