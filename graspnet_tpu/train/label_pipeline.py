@@ -220,9 +220,12 @@ def build_scene_labels(
             continue
         vi = view_inds_per_obj[o]
         lp = seed_local[sel]
-        labels[sel] = grasp_scores_list[o][lp][:, vi]
-        widths[sel] = grasp_widths_list[o][lp][:, vi]
-        tolerance[sel] = grasp_tolerance_list[o][lp][:, vi]
+        # single fused gather: (nsel, V, A, D) in one advanced-index pass
+        # instead of two chained copies (the host pipeline's hot loop)
+        ix = (lp[:, None], vi[None, :])
+        labels[sel] = grasp_scores_list[o][ix]
+        widths[sel] = grasp_widths_list[o][ix]
+        tolerance[sel] = grasp_tolerance_list[o][ix]
 
     return {
         "grasp_points": points_merged[nn].astype(np.float32),  # (Ns, 3)
