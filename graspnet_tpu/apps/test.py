@@ -59,17 +59,26 @@ def inference(args, cfg) -> None:
     pipe = GraspPipeline(cfg=cfg, checkpoint_path=args.checkpoint_path)
     print(f"compile: {pipe.warmup():.1f}s; frames: {len(dataset)}")
 
+    import concurrent.futures as cf
+
     from graspnet_tpu.utils.tracing import StageTimer, device_trace
 
     n = len(dataset) if args.max_frames is None else min(args.max_frames, len(dataset))
     timer = StageTimer()
     bs = max(args.batch_size, 1)
     tic = time.time()
+    # thread-pool prefetch: frame PNG decode (~100ms/frame) overlaps with
+    # device inference; pool sized to stay ahead of one batch
+    pool = cf.ThreadPoolExecutor(max_workers=max(4, bs))
+    futures = {i: pool.submit(dataset.get_data, i) for i in range(min(2 * bs, n))}
     with device_trace(args.profile_dir):
         for start in range(0, n, bs):
             ids = list(range(start, min(start + bs, n)))
+            for j in range(start + 2 * bs, min(start + 3 * bs, n)):
+                if j not in futures:
+                    futures[j] = pool.submit(dataset.get_data, j)
             with timer.stage("data"):
-                samples = [dataset.get_data(i) for i in ids]
+                samples = [futures.pop(i).result() for i in ids]
             with timer.stage("net"):
                 clouds = np.stack([s["point_clouds"] for s in samples])
                 ggs = pipe.get_grasps_batch(clouds)
@@ -91,6 +100,7 @@ def inference(args, cfg) -> None:
                     f"{done}/{n} frames, {(time.time()-tic)/done*1000:.1f} "
                     f"ms/frame  [{timer.report()}]"
                 )
+    pool.shutdown(wait=False, cancel_futures=True)
     print(f"inference done: {(time.time()-tic):.1f}s total  [{timer.report()}]")
 
 

@@ -115,7 +115,8 @@ class GraspNetDataset:
         self.grasp_labels = grasp_labels or {}
         self.cfg = cfg
         self.max_objects = max_objects
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
 
         self.scene_ids = [f"scene_{i:04d}" for i in SPLITS[split]]
         self.frames: List[Tuple[str, int]] = []
@@ -176,17 +177,29 @@ class GraspNetDataset:
             mask = mask & workspace
         return cloud[mask], seg[mask], meta
 
-    def _sample(self, n_avail: int) -> np.ndarray:
+    def set_epoch(self, epoch: int) -> None:
+        """Re-seed per-frame randomness for a new epoch."""
+        self.epoch = epoch
+
+    def _frame_rng(self, index: int) -> np.random.Generator:
+        """Per-(frame, epoch) generator — loader threads share no RNG state
+        (a shared np.random.Generator is not thread-safe), and every frame's
+        sampling/augmentation is reproducible."""
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, index])
+        )
+
+    def _sample(self, n_avail: int, rng: np.random.Generator) -> np.ndarray:
         if n_avail >= self.num_points:
-            return self.rng.choice(n_avail, self.num_points, replace=False)
-        extra = self.rng.choice(n_avail, self.num_points - n_avail, replace=True)
+            return rng.choice(n_avail, self.num_points, replace=False)
+        extra = rng.choice(n_avail, self.num_points - n_avail, replace=True)
         return np.concatenate([np.arange(n_avail), extra])
 
     def get_data(self, index: int) -> Dict[str, np.ndarray]:
         """Inference sample: sampled cloud only (reference :104-152)."""
         scene, frame = self.frames[index]
         cloud, seg, _ = self._load_frame(scene, frame)
-        idxs = self._sample(len(cloud))
+        idxs = self._sample(len(cloud), self._frame_rng(index))
         return {"point_clouds": cloud[idxs].astype(np.float32)}
 
     def get_raw_cloud(self, index: int) -> np.ndarray:
@@ -201,7 +214,8 @@ class GraspNetDataset:
         obj_idxs = meta["cls_indexes"].flatten().astype(np.int32)
         poses = meta["poses"]
 
-        idxs = self._sample(len(cloud))
+        rng = self._frame_rng(index)
+        idxs = self._sample(len(cloud), rng)
         cloud_s = cloud[idxs].astype(np.float32)
         seg_s = seg[idxs]
         objectness = (seg_s > 0).astype(np.int32)
@@ -224,7 +238,7 @@ class GraspNetDataset:
                 collision = collision[visible]
             # subsample label points (reference :224)
             k = min(max(int(len(points) / 4), 300), len(points))
-            sel = self.rng.choice(len(points), k, replace=False)
+            sel = rng.choice(len(points), k, replace=False)
             points, offsets = points[sel], offsets[sel]
             scores = scores[sel].copy()
             tolerance = tolerance[sel].copy()
@@ -238,7 +252,7 @@ class GraspNetDataset:
             tol_list.append(tolerance)
 
         if self.augment:
-            cloud_s, object_poses = augment_flip_rotate(cloud_s, object_poses, self.rng)
+            cloud_s, object_poses = augment_flip_rotate(cloud_s, object_poses, rng)
 
         sa_inds, seed_xyz = lp.seed_chain(cloud_s, self.cfg)
         labels = lp.build_scene_labels(
