@@ -147,6 +147,16 @@ def backbone_forward(
     eps = cfg.bn_eps
     sa_inds = sa_inds or {}
     xyz = pointcloud[..., :3]
+    if not sa_inds and jax.default_backend() == "tpu":
+        # one kernel launch for the whole FPS cascade — selected coordinates
+        # forward between stages in VMEM, so the intermediate gathers and the
+        # three extra kernel launches disappear (see ops/pallas/fps.py)
+        npoints = (cfg.sa1.npoint, cfg.sa2.npoint, cfg.sa3.npoint, cfg.sa4.npoint)
+        if all(m % 128 == 0 for m in npoints[:-1]):
+            from graspnet_tpu.ops.pallas.fps import fps_chain_pallas
+
+            c1, c2, c3, c4 = fps_chain_pallas(xyz, npoints)
+            sa_inds = {"sa1": c1, "sa2": c2, "sa3": c3, "sa4": c4}
     features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
     end_points: Dict[str, Any] = {"input_xyz": xyz, "input_features": features}
     bn_stats: Dict[str, Any] = {}

@@ -50,6 +50,25 @@ class TestFPS:
             got = np.asarray(fps_pallas(jnp.asarray(pts), 32))
         np.testing.assert_array_equal(got, want)
 
+    def test_chain_interpret_matches(self, rng):
+        from graspnet_tpu.ops.pallas.fps import fps_chain_pallas
+        from jax.experimental.pallas import tpu as pltpu
+
+        npoints = (256, 128, 64)
+        pts = np.stack(
+            [make_cloud(rng, n=700), make_cloud(rng, n=700, near_origin=60)]
+        )
+        # oracle: sequential FPS + gather per stage
+        want, cur = [], pts
+        for m in npoints:
+            inds = np.asarray(ops.furthest_point_sample(cur, m, use_pallas=False))
+            want.append(inds)
+            cur = np.take_along_axis(cur, inds[..., None], axis=1)
+        with pltpu.force_tpu_interpret_mode():
+            got = fps_chain_pallas(jnp.asarray(pts), npoints)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), w)
+
 
 class TestBallQuery:
     @pytest.mark.parametrize("radius,nsample", [(0.04, 64), (0.1, 32), (0.3, 16)])
