@@ -80,16 +80,25 @@ def _sa_stage(
         features is not None
         and not train
         and sa.normalize_xyz
-        and len(params["mlp"]) == 3
         and jax.default_backend() == "tpu"
     ):
-        # feature-grouping stage (sa2-4): fused kernel with onehot gather
-        from graspnet_tpu.ops.pallas.crop import sa_feat_fused_pallas
+        # feature-grouping stage (sa2-4): Pallas ball-query for the indices,
+        # then XLA gather + BN-folded MLP.  Faster than the fully-fused
+        # sa_feat_fused_pallas kernel, whose in-VMEM one-hot feature gather
+        # costs an (nsample, N) x (N, C) matmul per seed — the XLA row
+        # gather moves the same bytes without the dead FLOPs.
+        from graspnet_tpu.ops.pallas.crop import fold_bn_eval
+        from graspnet_tpu.ops.pallas.query import ball_query_pallas
 
-        pooled = sa_feat_fused_pallas(
-            xyz, new_xyz, features, params["mlp"], sa.radius, sa.nsample, eps
+        idx = ball_query_pallas(xyz, new_xyz, sa.radius, sa.nsample)
+        grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
+        grouped_xyz = grouped_xyz / sa.radius
+        grouped = jnp.concatenate(
+            [grouped_xyz, ops.group_points(features, idx)], axis=-1
         )
-        return new_xyz, pooled, inds, None
+        for w, bias in fold_bn_eval(params["mlp"], eps):
+            grouped = jax.nn.relu(jnp.dot(grouped, w) + bias)
+        return new_xyz, jnp.max(grouped, axis=2), inds, None
     idx = ops.ball_query(xyz, new_xyz, sa.radius, sa.nsample)
     grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
     if sa.normalize_xyz:

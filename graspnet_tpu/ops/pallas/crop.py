@@ -32,6 +32,7 @@ from graspnet_tpu.ops.pallas.query import (
     _LANE,
     _SENTINEL,
     _select_first_hits_vmem,
+    _select_hits_core,
 )
 
 
@@ -79,7 +80,6 @@ def _crop_kernel(
     ball: bool,
     sb: int,
 ):
-    lane_iota = _fiota((ns, _LANE), 1)
     cols_x, cols_y, cols_z = [], [], []
 
     for s in range(sb):
@@ -109,24 +109,13 @@ def _crop_kernel(
                 mask = (
                     (yz2 < r2) & (x_r > hmin) & (x_r < hmaxs[d])
                 ).astype(jnp.float32)
-            idx_col, onehot, p_col, valid_col, total = _select_first_hits_vmem(
-                mask, g, ns
+            # selection + coordinate gather share ONE one-hot matmul over the
+            # lane-concatenated [running-count | x_r | y_r | z_r] planes
+            sel = _select_hits_core(
+                mask, g, ns, extras=(x_r, y_r, z_r), need_idx=False
             )
-            del idx_col  # features gathered directly; no index materialized
-
-            # gather the selected samples' gripper-frame coords: tile rows
-            # via the onehot matmul, then lane-select at p
-            lhot = (lane_iota == p_col).astype(jnp.float32)  # (NS, 128)
-
-            def pick(plane):
-                rows = jax.lax.dot_general(
-                    onehot, plane,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (NS, 128)
-                return jnp.sum(rows * lhot, axis=1, keepdims=True)  # (NS, 1)
-
-            sx, sy, sz = pick(x_r), pick(y_r), pick(z_r)
+            valid_col, total = sel["valid_col"], sel["total"]
+            sx, sy, sz = sel["picked"]
             # padding: empty slots -> first hit; zero-hit seeds -> point 0
             first = lambda v: v[0:1, 0:1]  # noqa: E731
             p0 = (x_r[0:1, 0:1], y_r[0:1, 0:1], z_r[0:1, 0:1])

@@ -9,6 +9,8 @@ from graspnet_tpu.models.heads import cylinder_query_multi_depth
 from graspnet_tpu.ops.pallas.query import (
     ball_query_pallas,
     cylinder_query_multi_pallas,
+    multi_query_batched_pallas,
+    multi_query_pallas,
 )
 
 
@@ -70,3 +72,39 @@ class TestBallPallas:
         auto = ops.ball_query(xyz, centers, 0.1, 16, chunk=16)
         ref = ops.ball_query(xyz, centers, 0.1, 16, chunk=16, use_pallas=False)
         np.testing.assert_array_equal(np.asarray(auto), np.asarray(ref))
+
+
+class TestBatchedSelection:
+    """multi_query_batched_pallas (K stacked selections per program) must
+    match the per-seed kernel bit-for-bit, incl. first-hit/zero padding."""
+
+    def test_ball_matches_per_seed(self, scene):
+        xyz, centers, _ = scene
+        a = multi_query_pallas(xyz, centers, None, 0.1, 0.0, (0.0,), 16,
+                               rotate=False)
+        b = multi_query_batched_pallas(xyz, centers, None, 0.1, 0.0, (0.0,),
+                                       16, rotate=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_cylinder_matches_per_seed(self, scene):
+        xyz, centers, rot = scene
+        args = (xyz, centers, rot, 0.05, -0.02, (0.01, 0.02, 0.03, 0.04), 16)
+        a = multi_query_pallas(*args)
+        b = multi_query_batched_pallas(*args)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_empty_and_overfull(self):
+        rng = np.random.default_rng(5)
+        xyz = jnp.asarray(rng.uniform(-0.2, 0.2, (1, 256, 3)), jnp.float32)
+        centers = jnp.asarray(
+            np.stack([np.full((3,), 10.0), np.zeros(3)] * 8, 0)[None],
+            jnp.float32,
+        )  # alternating far (zero hits) / central (overfull)
+        got = np.asarray(
+            multi_query_batched_pallas(
+                xyz, centers, None, 0.5, 0.0, (0.0,), 8, rotate=False
+            )
+        )[:, :, 0, :]
+        ref = np.asarray(ops.ball_query(xyz, centers, 0.5, 8, use_pallas=False))
+        np.testing.assert_array_equal(got, ref)
+        assert (got[0, 0] == 0).all()  # far center: zero-hit row
