@@ -55,7 +55,13 @@ def parse_args():
     )
     p.add_argument(
         "--label_dtype", default="float32", choices=["float32", "bfloat16"],
-        help="bfloat16 halves the per-step label transfer",
+        help="bfloat16 halves the per-step label transfer (full mode only)",
+    )
+    p.add_argument(
+        "--label_mode", default="compact", choices=["compact", "full"],
+        help="compact = two-phase step shipping only matched label slabs "
+        "(~100x less host->device traffic, bit-identical steps); full = "
+        "ship the whole (Ns, V, A, D) slabs like the reference keeps on-device",
     )
     return p.parse_args()
 
@@ -86,12 +92,12 @@ def main():
     train_ds = GraspNetDataset(
         args.dataset_root, valid_objs, grasp_labels, camera=args.camera,
         split="train", num_points=cfg.num_point, remove_outlier=True,
-        augment=True, cfg=cfg,
+        augment=True, cfg=cfg, label_mode=args.label_mode,
     )
     test_ds = GraspNetDataset(
         args.dataset_root, valid_objs, grasp_labels, camera=args.camera,
         split="test_seen", num_points=cfg.num_point, remove_outlier=True,
-        augment=False, cfg=cfg,
+        augment=False, cfg=cfg, label_mode="full",
     )
     logger.log(f"train len: {len(train_ds)}, test len: {len(test_ds)}")
 
@@ -132,8 +138,9 @@ def main():
         t0 = time.time()
         # double buffering: dispatch the step, then start the NEXT batch's
         # host->device transfer while the step computes
+        compact = args.label_mode == "compact"
         it = iter(train_loader)
-        pending = trainer.put(next(it))
+        pending = (trainer.prepare if compact else trainer.put)(next(it))
         step = 0
         while pending is not None:
             if args.profile_dir and epoch == start_epoch:
@@ -145,9 +152,13 @@ def main():
                 elif step == 15:
                     jax.profiler.stop_trace()
                     logger.log(f"device trace saved to {args.profile_dir}")
-            loss, metrics = trainer.step(pending)  # async dispatch
+            if compact:
+                loss, metrics = trainer.step_prepared(pending)  # async dispatch
+            else:
+                loss, metrics = trainer.step(pending)
             try:
-                pending = trainer.put(next(it))  # overlaps with compute
+                # overlaps with the dispatched step's compute
+                pending = (trainer.prepare if compact else trainer.put)(next(it))
             except StopIteration:
                 pending = None
             logger.accumulate(metrics)  # blocks on this step's results

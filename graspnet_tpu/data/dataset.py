@@ -102,8 +102,11 @@ class GraspNetDataset:
         cfg: GraspNetConfig = GraspNetConfig(),
         max_objects: int = 16,
         seed: int = 0,
+        label_mode: str = "compact",
     ):
         assert num_points <= 50000
+        assert label_mode in ("full", "compact")
+        self.label_mode = label_mode
         self.root = root
         self.camera = camera
         self.num_points = num_points
@@ -255,6 +258,26 @@ class GraspNetDataset:
             cloud_s, object_poses = augment_flip_rotate(cloud_s, object_poses, rng)
 
         sa_inds, seed_xyz = lp.seed_chain(cloud_s, self.cfg)
+        if self.label_mode == "compact":
+            # two-phase path: defer the (Ns, V, A, D) slab gathers until the
+            # predicted top view is known (Trainer.step_compact); ~100x less
+            # host->device label traffic per step, bit-identical step output
+            ctx = lp.prepare_scene_labels(
+                seed_xyz,
+                object_poses,
+                pts_list,
+                scores_list,
+                widths_list,
+                tol_list,
+                self.cfg,
+                max_objects=self.max_objects,
+            )
+            return {
+                "point_clouds": cloud_s,
+                "objectness_label": objectness,
+                "sa_inds": sa_inds,
+                "label_ctx": ctx,
+            }
         labels = lp.build_scene_labels(
             cloud_s,
             seed_xyz,
@@ -276,13 +299,19 @@ class GraspNetDataset:
 
 
 def collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
-    """Stack a list of fixed-shape sample dicts into one batch pytree."""
+    """Stack a list of fixed-shape sample dicts into one batch pytree.
+
+    Non-array values (e.g. the host-only SceneLabelContext of the compact
+    label path) are kept as plain lists.
+    """
     out: Dict[str, Any] = {}
     for k in samples[0]:
         if isinstance(samples[0][k], dict):
             out[k] = {s: np.stack([x[k][s] for x in samples]) for s in samples[0][k]}
-        else:
+        elif isinstance(samples[0][k], (np.ndarray, np.generic, int, float)):
             out[k] = np.stack([x[k] for x in samples])
+        else:
+            out[k] = [x[k] for x in samples]
     return out
 
 

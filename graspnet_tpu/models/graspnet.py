@@ -71,9 +71,18 @@ def graspnet_forward(
         from graspnet_tpu.train import label_pipeline
 
         assert labels is not None, "training forward requires padded labels"
-        end_points.update(label_pipeline.process_grasp_labels(end_points, labels, cfg))
-        matched = label_pipeline.match_grasp_view_and_label(end_points, cfg)
-        end_points.update(matched)
+        if "matched_label_raw" in labels:
+            # compact two-phase path: matched slabs were sliced on the host
+            # at the pre-pass top view (label_pipeline.finalize_scene_labels);
+            # the log rescale happens here so values are bit-identical to the
+            # full path
+            end_points.update(label_pipeline.process_matched_labels(labels, cfg))
+        else:
+            end_points.update(
+                label_pipeline.process_grasp_labels(end_points, labels, cfg)
+            )
+            matched = label_pipeline.match_grasp_view_and_label(end_points, cfg)
+            end_points.update(matched)
         crop_rot = end_points["batch_grasp_view_rot"]
         crop_seed = end_points["batch_grasp_point"]
     else:

@@ -45,7 +45,8 @@ def make_mesh(
 def shard_batch(mesh: Mesh, tree: Any, axis: str = "data") -> Any:
     """Place a host batch pytree with the leading axis sharded over `axis`."""
     def put(x):
-        spec = P(axis, *([None] * (np.ndim(x) - 1)))
+        # scalars (e.g. the batch-global label u_max) replicate
+        spec = P() if np.ndim(x) == 0 else P(axis, *([None] * (np.ndim(x) - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, tree)

@@ -235,3 +235,191 @@ def build_scene_labels(
         "grasp_widths": widths,
         "grasp_tolerance": tolerance,
     }
+
+
+# ------------------------------------------------- compact two-phase path --
+#
+# The full path above ships three (B, Ns, V, A, D) slabs to the device every
+# step (~177 MB/scene at the reference operating point) only for the jitted
+# step to immediately slice out the (A, D) slab of the predicted top view
+# (match_grasp_view_and_label).  The compact path inverts the order:
+#
+#   phase A (host):   per-object (point, view) reductions, no (Ns,V,A,D) slab
+#   pre-pass (device): stage-1 forward -> grasp_top_view_inds (B, Ns) int32
+#   phase B (host):   slice ONLY the matched (Ns, A, D) slabs + (Ns, V)
+#                     view label -> ~2 MB/scene shipped
+#
+# Numerically exact vs the full path: the log-rescale log(u_max/x) is strictly
+# decreasing in x, so max over (A, D) of the rescaled slab equals the rescale
+# of the masked minimum, evaluated on the identical float32 element — and the
+# top-view indices from the pre-pass are bit-identical to the ones the full
+# step recomputes (same params, same batch, deterministic program).
+
+
+class SceneLabelContext:
+    """Host-side per-scene label state between phase A and phase B."""
+
+    __slots__ = (
+        "grasp_points", "seed_obj", "seed_local", "obj_view_rot",
+        "view_inds_per_obj", "scores_list", "widths_list", "tol_list",
+        "lmin_per_obj", "has_per_obj", "scene_umax", "ns",
+    )
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def prepare_scene_labels(
+    seed_xyz: np.ndarray,
+    object_poses: Sequence[np.ndarray],
+    grasp_points_list: Sequence[np.ndarray],
+    grasp_scores_list: Sequence[np.ndarray],
+    grasp_widths_list: Sequence[np.ndarray],
+    grasp_tolerance_list: Sequence[np.ndarray],
+    cfg: GraspNetConfig,
+    max_objects: int = 16,
+) -> SceneLabelContext:
+    """Phase A: everything parameter-independent except the per-seed slabs.
+
+    Mirrors build_scene_labels' transforms/assignment (label_generation.py:
+    30-109) and additionally reduces each object's (Np, V, A, D) arrays to
+    (Np, V) running statistics needed later:
+      lmin[p, v] = min score where (score > 0 and width <= GRASP_MAX_WIDTH)
+      has[p, v]  = any such element
+      scene_umax = max over seeds' gathered slabs (u_max contribution,
+                   reference label_generation.py:114 takes the max over the
+                   gathered tensor, i.e. over re-indexed views only)
+    """
+    v = cfg.num_view
+    n_obj = len(object_poses)
+    assert 1 <= n_obj <= max_objects
+
+    points_merged, point_obj, point_local = [], [], []
+    view_inds_per_obj: List[np.ndarray] = []
+    obj_view_rot = np.zeros((max_objects, v, 3, 3), dtype=np.float32)
+    for o, pose in enumerate(object_poses):
+        pose = np.asarray(pose, dtype=np.float32)
+        pts = grasp_points_list[o].astype(np.float32)
+        points_merged.append(pts @ pose[:3, :3].T + pose[:3, 3])
+        point_obj.append(np.full(len(pts), o, dtype=np.int32))
+        point_local.append(np.arange(len(pts), dtype=np.int32))
+        view_inds, rot_trans = assign_views(pose[:3, :3], v)
+        view_inds_per_obj.append(view_inds)
+        obj_view_rot[o] = rot_trans
+
+    points_merged = np.concatenate(points_merged, axis=0)
+    point_obj = np.concatenate(point_obj)
+    point_local = np.concatenate(point_local)
+
+    from graspnet_tpu import native
+
+    nn = native.nearest(seed_xyz.astype(np.float32), points_merged)  # (Ns,)
+    seed_obj = point_obj[nn]
+    seed_local = point_local[nn]
+
+    lmin_per_obj, has_per_obj = [], []
+    scene_umax = np.float32(-np.inf)
+    for o in range(n_obj):
+        s = grasp_scores_list[o].astype(np.float32, copy=False)
+        w = grasp_widths_list[o].astype(np.float32, copy=False)
+        npo, _, a, d = s.shape  # explicit dims: npo may be 0 (fully occluded)
+        mask = (s > 0) & (w <= cfg.grasp_max_width)
+        lmin = np.where(mask, s, np.inf).reshape(npo, v, a * d).min(axis=-1, initial=np.inf)
+        has = mask.reshape(npo, v, a * d).any(axis=-1)
+        lmin_per_obj.append(lmin.astype(np.float32))
+        has_per_obj.append(has)
+        sel = np.unique(seed_local[seed_obj == o])
+        if len(sel):
+            vmax = s.reshape(npo, v, a * d).max(axis=-1)  # raw max incl. unmasked
+            scene_umax = max(
+                scene_umax, vmax[np.ix_(sel, view_inds_per_obj[o])].max()
+            )
+
+    return SceneLabelContext(
+        grasp_points=points_merged[nn].astype(np.float32),
+        seed_obj=seed_obj.astype(np.int32),
+        seed_local=seed_local.astype(np.int32),
+        obj_view_rot=obj_view_rot,
+        view_inds_per_obj=view_inds_per_obj,
+        scores_list=[np.asarray(x, np.float32) for x in grasp_scores_list],
+        widths_list=[np.asarray(x, np.float32) for x in grasp_widths_list],
+        tol_list=[np.asarray(x, np.float32) for x in grasp_tolerance_list],
+        lmin_per_obj=lmin_per_obj,
+        has_per_obj=has_per_obj,
+        scene_umax=np.float32(scene_umax),
+        ns=seed_xyz.shape[0],
+    )
+
+
+def finalize_scene_labels(
+    ctx: SceneLabelContext, top_view: np.ndarray, cfg: GraspNetConfig
+) -> Dict[str, np.ndarray]:
+    """Phase B: slice matched slabs at the predicted top view.
+
+    Returns RAW (un-rescaled) matched slabs plus the per-(seed, view) masked
+    score minima; the log rescale happens on device inside the jitted step
+    (process_matched_labels) with the batch-global u_max, so compact-path
+    label values are bit-identical to the full path's (same XLA log on the
+    same float32 operands — log(u_max/x) is strictly decreasing, hence the
+    full path's max-over-(A,D) of rescaled scores is the rescale of lmin).
+    """
+    ns, a, d = ctx.ns, cfg.num_angle, cfg.num_depth
+    v = cfg.num_view
+    top_view = np.asarray(top_view, np.int64)
+
+    label = np.zeros((ns, a, d), np.float32)
+    width = np.zeros((ns, a, d), np.float32)
+    tol = np.zeros((ns, a, d), np.float32)
+    view_lmin = np.zeros((ns, v), np.float32)
+    view_has = np.zeros((ns, v), np.bool_)
+    for o in range(len(ctx.scores_list)):
+        sel = np.nonzero(ctx.seed_obj == o)[0]
+        if len(sel) == 0:
+            continue
+        vi = ctx.view_inds_per_obj[o]
+        lp = ctx.seed_local[sel]
+        ov = vi[top_view[sel]]  # object-frame view of the predicted top view
+        label[sel] = ctx.scores_list[o][lp, ov]
+        width[sel] = ctx.widths_list[o][lp, ov]
+        tol[sel] = ctx.tol_list[o][lp, ov]
+        view_lmin[sel] = ctx.lmin_per_obj[o][np.ix_(lp, vi)]
+        view_has[sel] = ctx.has_per_obj[o][np.ix_(lp, vi)]
+
+    rot = ctx.obj_view_rot[ctx.seed_obj, top_view]  # (Ns, 3, 3)
+    return {
+        "batch_grasp_point": ctx.grasp_points,
+        "batch_grasp_view_rot": rot.astype(np.float32),
+        "matched_label_raw": label,
+        "batch_grasp_width": width,
+        "batch_grasp_tolerance": tol,
+        "view_lmin": np.where(view_has, view_lmin, 1.0).astype(np.float32),
+        "view_has": view_has,
+    }
+
+
+def process_matched_labels(
+    labels: Dict[str, jax.Array], cfg: GraspNetConfig
+) -> Dict[str, Any]:
+    """Device rescale for the compact path (mirrors process_grasp_labels).
+
+    labels carries 'label_u_max', the batch-global raw max computed on host
+    (identical to the reference's u_max over the gathered slab tensor,
+    label_generation.py:114).
+    """
+    u_max = labels["label_u_max"].astype(jnp.float32)
+    raw = labels["matched_label_raw"].astype(jnp.float32)
+    width = labels["batch_grasp_width"].astype(jnp.float32)
+    mask = (raw > 0) & (width <= cfg.grasp_max_width)
+    label = jnp.where(mask, jnp.log(u_max / jnp.where(mask, raw, 1.0)), 0.0)
+    lmin = labels["view_lmin"].astype(jnp.float32)
+    has = labels["view_has"]
+    view_label = jnp.where(has, jnp.log(u_max / lmin), 0.0)
+    return {
+        "batch_grasp_point": labels["batch_grasp_point"],
+        "batch_grasp_view_rot": labels["batch_grasp_view_rot"],
+        "batch_grasp_label": label,
+        "batch_grasp_width": width,
+        "batch_grasp_tolerance": labels["batch_grasp_tolerance"].astype(jnp.float32),
+        "batch_grasp_view_label": view_label,
+    }

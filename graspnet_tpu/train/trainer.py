@@ -155,8 +155,28 @@ class Trainer:
             loss, metrics = get_loss(ep, cfg_)
             return loss, metrics
 
+        @jax.jit
+        def _stage1_top_view(params, point_clouds, sa_inds):
+            """Pre-pass for the compact label path: top view indices only.
+
+            Runs backbone + approach in train mode (batch-stat BN), exactly
+            the stage-1 prefix of _train_step, so the returned indices are
+            bit-identical to the ones the full step recomputes.
+            """
+            from graspnet_tpu.models.backbone import backbone_forward
+            from graspnet_tpu.models import heads
+
+            feats, seed_xyz, _ = backbone_forward(
+                params["backbone"], point_clouds, cfg_, train=True, sa_inds=sa_inds
+            )
+            ep = heads.approach_forward(
+                params["approach"], seed_xyz, feats, cfg_, train=True
+            )
+            return ep["grasp_top_view_inds"]
+
         self._train_step = _train_step
         self._eval_step = _eval_step
+        self._stage1_top_view = _stage1_top_view
 
     # -- epoch-level schedule handling ------------------------------------
     def set_epoch(self, epoch: int) -> None:
@@ -200,6 +220,54 @@ class Trainer:
             self.params, self.opt_state, device_batch, jnp.float32(momentum)
         )
         return loss, metrics
+
+    # -- compact two-phase step ---------------------------------------------
+    def prepare(self, batch: Dict[str, Any]):
+        """Phase 1 of the compact step: dispatch the stage-1 pre-pass.
+
+        `batch` is a compact loader batch: point_clouds / objectness_label /
+        sa_inds arrays plus 'label_ctx', a list of SceneLabelContext (one per
+        scene, host-only).  Returns an opaque handle for step_prepared().
+        The pre-pass ships only the (B, N, 3) clouds + FPS indices and runs
+        asynchronously, so prepare(next_batch) overlaps the current step.
+        """
+        ctxs = batch["label_ctx"]
+        small = {
+            "point_clouds": batch["point_clouds"],
+            "objectness_label": batch["objectness_label"],
+            "sa_inds": batch["sa_inds"],
+        }
+        device_small = shard_batch(self.mesh, small)
+        top = self._stage1_top_view(
+            self.params, device_small["point_clouds"], device_small["sa_inds"]
+        )
+        return device_small, ctxs, top
+
+    def step_prepared(self, handle):
+        """Phase 2: finalize matched labels on host, run the full step."""
+        from graspnet_tpu.train.label_pipeline import finalize_scene_labels
+
+        device_small, ctxs, top = handle
+        top_np = np.asarray(jax.device_get(top))
+        matched = [
+            finalize_scene_labels(c, top_np[i], self.cfg)
+            for i, c in enumerate(ctxs)
+        ]
+        labels = {
+            k: np.stack([m[k] for m in matched]) for k in matched[0]
+        }
+        labels["label_u_max"] = np.float32(max(c.scene_umax for c in ctxs))
+        device_batch = dict(device_small)
+        device_batch.update(shard_batch(self.mesh, labels))
+        momentum = bn_momentum_at_epoch(self.tc, self.epoch)
+        self.params, self.opt_state, loss, metrics = self._train_step(
+            self.params, self.opt_state, device_batch, jnp.float32(momentum)
+        )
+        return loss, metrics
+
+    def step_compact(self, batch):
+        """Compact two-phase step (see label_pipeline compact path)."""
+        return self.step_prepared(self.prepare(batch))
 
     def eval_step(self, batch):
         device_batch = batch if self._on_device(batch) else self.put(batch)

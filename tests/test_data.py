@@ -108,7 +108,7 @@ class TestDataset:
         d = ds.GraspNetDataset(
             fake_root, valid, labels, camera="kinect", split="test_seen",
             num_points=cfg.num_point, cfg=cfg, max_objects=4,
-            remove_invisible=False, augment=True,
+            remove_invisible=False, augment=True, label_mode="full",
         )
         s = d[0]
         ns, v, a, dd = cfg.num_seed, cfg.num_view, cfg.num_angle, cfg.num_depth
@@ -118,6 +118,24 @@ class TestDataset:
         assert s["grasp_points"].shape == (ns, 3)
         assert s["obj_view_rot"].shape == (4, v, 3, 3)
         assert s["sa_inds"]["sa1"].shape == (cfg.sa1.npoint,)
+
+    def test_get_data_label_compact(self, fake_root, cfg):
+        from graspnet_tpu.train.label_pipeline import SceneLabelContext
+
+        valid, labels = ds.load_grasp_labels(fake_root, num_objects=3)
+        d = ds.GraspNetDataset(
+            fake_root, valid, labels, camera="kinect", split="test_seen",
+            num_points=cfg.num_point, cfg=cfg, max_objects=4,
+            remove_invisible=False, augment=True,  # label_mode default=compact
+        )
+        s = d[0]
+        assert isinstance(s["label_ctx"], SceneLabelContext)
+        assert s["label_ctx"].grasp_points.shape == (cfg.num_seed, 3)
+        assert "grasp_labels" not in s  # no (Ns, V, A, D) slab materialized
+        # collate keeps contexts as a plain list
+        batch = ds.collate([d[0], d[1]])
+        assert isinstance(batch["label_ctx"], list) and len(batch["label_ctx"]) == 2
+        assert batch["point_clouds"].shape == (2, cfg.num_point, 3)
 
     def test_dataloader(self, fake_root, cfg):
         valid, labels = ds.load_grasp_labels(fake_root, num_objects=3)

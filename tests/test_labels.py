@@ -178,3 +178,47 @@ def test_seed_chain_shapes(rng):
     assert inds["sa2"].shape == (cfg.sa2.npoint,)
     assert seed_xyz.shape == (cfg.sa2.npoint, 3)
     np.testing.assert_allclose(seed_xyz, cloud[inds["sa1"]][inds["sa2"]])
+
+
+def test_compact_path_matches_full_path_bitwise(rng):
+    """prepare/finalize + device rescale == build/process/match, bit for bit."""
+    import jax.numpy as jnp
+
+    cfg = GraspNetConfig.tiny()
+    seed_xyz, poses, pts, scores, widths, tols = make_scene(rng, cfg)
+
+    full = lp.build_scene_labels(
+        None, seed_xyz, poses, pts, scores, widths, tols, cfg, max_objects=4
+    )
+    ctx = lp.prepare_scene_labels(
+        seed_xyz, poses, pts, scores, widths, tols, cfg, max_objects=4
+    )
+
+    dev_labels = {k: jnp.asarray(v)[None] for k, v in full.items()}
+    ep = lp.process_grasp_labels({}, dev_labels, cfg)
+    u_max_full = float(jnp.max(dev_labels["grasp_labels"]))
+    assert float(ctx.scene_umax) == u_max_full  # exact u_max reproduction
+
+    top = rng.integers(0, cfg.num_view, cfg.num_seed).astype(np.int32)
+    ep["grasp_top_view_inds"] = jnp.asarray(top)[None]
+    matched = lp.match_grasp_view_and_label(ep, cfg)
+
+    fin = lp.finalize_scene_labels(ctx, top, cfg)
+    fin_b = {k: jnp.asarray(v)[None] for k, v in fin.items()}
+    fin_b["label_u_max"] = jnp.float32(ctx.scene_umax)
+    out = lp.process_matched_labels(fin_b, cfg)
+
+    for k in (
+        "batch_grasp_view_rot",
+        "batch_grasp_label",
+        "batch_grasp_width",
+        "batch_grasp_tolerance",
+        "batch_grasp_point",
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(out[k][0]), np.asarray(matched.get(k, ep.get(k))[0]), err_msg=k
+        )
+    np.testing.assert_array_equal(
+        np.asarray(out["batch_grasp_view_label"][0]),
+        np.asarray(ep["batch_grasp_view_label"][0]),
+    )

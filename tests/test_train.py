@@ -207,3 +207,77 @@ def test_put_then_step_device_batch(rng):
     l2, _ = tr.step(batch)  # host batch path still works
     assert np.isfinite(float(np.asarray(l1)))
     assert np.isfinite(float(np.asarray(l2)))
+
+
+def make_compact_batch(rng, cfg, b):
+    """Same scenes as make_batch but in compact (two-phase) representation."""
+    from tests.test_labels import make_scene
+
+    clouds, obj_labels, sa_tree, label_list, ctxs = [], [], [], [], []
+    for _ in range(b):
+        cloud = rng.uniform(-0.4, 0.4, (cfg.num_point, 3)).astype(np.float32)
+        inds, seed_xyz = lp.seed_chain(cloud, cfg)
+        _, poses, pts, scores, widths, tols = make_scene(rng, cfg)
+        labels = lp.build_scene_labels(
+            cloud, seed_xyz, poses, pts, scores, widths, tols, cfg, max_objects=4
+        )
+        ctx = lp.prepare_scene_labels(
+            seed_xyz, poses, pts, scores, widths, tols, cfg, max_objects=4
+        )
+        clouds.append(cloud)
+        obj_labels.append(rng.integers(0, 2, size=cfg.num_point).astype(np.int32))
+        sa_tree.append(inds)
+        label_list.append(labels)
+        ctxs.append(ctx)
+
+    full = {k: np.stack([l[k] for l in label_list]) for k in label_list[0]}
+    full["point_clouds"] = np.stack(clouds)
+    full["objectness_label"] = np.stack(obj_labels)
+    full["sa_inds"] = {
+        k: np.stack([s[k] for s in sa_tree])[..., : getattr(cfg, k).npoint]
+        for k in ("sa1", "sa2", "sa3", "sa4")
+    }
+    compact = {
+        "point_clouds": full["point_clouds"],
+        "objectness_label": full["objectness_label"],
+        "sa_inds": full["sa_inds"],
+        "label_ctx": ctxs,
+    }
+    return full, compact
+
+
+def test_compact_two_phase_step_matches_full_step(rng):
+    """step_compact == step: identical loss and identical params after 3 steps."""
+    cfg = GraspNetConfig.tiny()
+    full, compact = make_compact_batch(rng, cfg, 2)
+
+    t_full = Trainer(cfg=cfg, tc=TrainConfig(), seed=0)
+    t_comp = Trainer(cfg=cfg, tc=TrainConfig(), seed=0)
+    t_full.set_epoch(0)
+    t_comp.set_epoch(0)
+    for _ in range(3):
+        l1, m1 = t_full.step(full)
+        l2, m2 = t_comp.step_compact(compact)
+        assert float(np.asarray(l1)) == float(np.asarray(l2))
+
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        t_full.params,
+        t_comp.params,
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
+def test_compact_prepare_pipeline_overlap(rng):
+    """prepare(next) while the current step is in flight (the app's loop)."""
+    cfg = GraspNetConfig.tiny()
+    _, compact = make_compact_batch(rng, cfg, 2)
+    tr = Trainer(cfg=cfg, tc=TrainConfig(), seed=0)
+    tr.set_epoch(0)
+    handle = tr.prepare(compact)
+    losses = []
+    for _ in range(2):
+        loss, _ = tr.step_prepared(handle)
+        handle = tr.prepare(compact)  # dispatched while step computes
+        losses.append(float(np.asarray(loss)))
+    assert np.isfinite(losses).all()
