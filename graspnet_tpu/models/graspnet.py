@@ -67,10 +67,17 @@ def graspnet_forward(
         )
 
     input_xyz = end_points["input_xyz"]
-    if train:
+    # Crop source follows label availability, not BN mode: the reference's
+    # is_training is a constructor flag, so its eval epoch (net.eval()) still
+    # crops at label points with matched rotations while BN uses running
+    # stats (reference graspnet.py:50-56, train.py:162).
+    has_labels = labels is not None and (
+        "matched_label_raw" in labels or "grasp_labels" in labels
+    )
+    if train or has_labels:
         from graspnet_tpu.train import label_pipeline
 
-        assert labels is not None, "training forward requires padded labels"
+        assert has_labels, "training forward requires padded labels"
         if "matched_label_raw" in labels:
             # compact two-phase path: matched slabs were sliced on the host
             # at the pre-pass top view (label_pipeline.finalize_scene_labels);

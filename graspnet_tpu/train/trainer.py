@@ -148,8 +148,11 @@ class Trainer:
 
         @jax.jit
         def _eval_step(params, batch):
+            # reference eval epoch: net.eval() -> BN running stats, but
+            # is_training construction flag keeps label-matched crops
+            # (train.py:162, graspnet.py:50-56)
             ep = graspnet_forward(
-                params, batch["point_clouds"], cfg_, train=True, labels=batch
+                params, batch["point_clouds"], cfg_, train=False, labels=batch
             )
             ep["objectness_label"] = batch["objectness_label"]
             loss, metrics = get_loss(ep, cfg_)

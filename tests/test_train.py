@@ -281,3 +281,33 @@ def test_compact_prepare_pipeline_overlap(rng):
         handle = tr.prepare(compact)  # dispatched while step computes
         losses.append(float(np.asarray(loss)))
     assert np.isfinite(losses).all()
+
+
+def test_eval_step_uses_running_stat_bn(rng):
+    """Reference eval epoch = net.eval(): BN running stats, label crops.
+
+    With fresh params (running mean 0 / var 1) batch statistics differ from
+    running statistics, so eval-mode loss must differ from train-mode loss on
+    the same batch — pinning that _eval_step does not use batch-stat BN.
+    """
+    cfg = GraspNetConfig.tiny()
+    batch = make_batch(rng, cfg, 2)
+    tr = Trainer(cfg=cfg, tc=TrainConfig(), seed=0)
+    tr.set_epoch(0)
+    dev = tr.put(batch)
+    eval_loss, _ = tr.eval_step(dev)
+
+    from graspnet_tpu.models import graspnet_forward
+    from graspnet_tpu.train.loss import get_loss
+
+    ep = graspnet_forward(tr.params, dev["point_clouds"], cfg, train=True, labels=dev)
+    ep["objectness_label"] = dev["objectness_label"]
+    train_loss, _ = get_loss(ep, cfg)
+    assert float(np.asarray(eval_loss)) != float(np.asarray(train_loss))
+
+    # and the eval crop source is the label points (is_training flag), so
+    # labels must still be consumed: removing them changes the outcome
+    ep2 = graspnet_forward(tr.params, dev["point_clouds"], cfg, train=False, labels=dev)
+    ep2["objectness_label"] = dev["objectness_label"]
+    loss2, _ = get_loss(ep2, cfg)
+    assert float(np.asarray(eval_loss)) == float(np.asarray(loss2))
