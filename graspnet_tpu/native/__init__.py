@@ -67,6 +67,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             f32p, ctypes.c_int64, ctypes.c_float, f32p,
         ]
         lib.gn_voxel_downsample.restype = ctypes.c_int
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.gn_label_view_stats.argtypes = [
+            f32p, f32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, f32p, u8p, f32p,
+        ]
         _lib = lib
         return _lib
 
@@ -99,6 +104,35 @@ def nearest(query: np.ndarray, ref: np.ndarray) -> np.ndarray:
     out = np.empty(len(query), dtype=np.int32)
     lib.gn_nearest(query, len(query), ref, len(ref), out)
     return out
+
+
+def label_view_stats(scores: np.ndarray, widths: np.ndarray, max_width: float):
+    """Fused per-(point, view) label stats for the compact training path.
+
+    (Np, V, A, D) scores/widths -> lmin (Np, V) f32, has (Np, V) bool,
+    vmax (Np, V) f32 in one pass (see gn_label_view_stats).
+    """
+    scores = np.ascontiguousarray(scores, dtype=np.float32)
+    widths = np.ascontiguousarray(widths, dtype=np.float32)
+    npo, v = scores.shape[0], scores.shape[1]
+    ad = int(np.prod(scores.shape[2:], dtype=np.int64)) if scores.ndim > 2 else 1
+    lib = get_lib()
+    if lib is None or npo == 0:
+        mask = (scores > 0) & (widths <= max_width)
+        lmin = np.where(mask, scores, np.inf).reshape(npo, v, ad).min(
+            axis=-1, initial=np.inf
+        )
+        has = mask.reshape(npo, v, ad).any(axis=-1)
+        vmax = scores.reshape(npo, v, ad).max(axis=-1, initial=-np.inf)
+        return lmin.astype(np.float32), has, vmax.astype(np.float32)
+    lmin = np.empty((npo, v), np.float32)
+    has = np.empty((npo, v), np.uint8)
+    vmax = np.empty((npo, v), np.float32)
+    lib.gn_label_view_stats(
+        scores.reshape(-1), widths.reshape(-1), npo, v, ad,
+        np.float32(max_width), lmin, has, vmax,
+    )
+    return lmin, has.astype(bool), vmax
 
 
 def voxel_downsample(pts: np.ndarray, voxel: float) -> np.ndarray:

@@ -133,6 +133,42 @@ int gn_voxel_downsample(const float* pts, int64_t n, float voxel, float* out) {
   return (int)w;
 }
 
-int gn_version() { return 1; }
+// Fused per-(label point, view) statistics for the compact training-label
+// path (train/label_pipeline.prepare_scene_labels).  One pass over the
+// object's (Np, V, A*D) score/width arrays computes, per (p, v):
+//   lmin = min score where (score > 0 && width <= max_width), else +inf
+//   has  = whether any such element exists
+//   vmax = raw max score (mask-free; feeds the reference's batch u_max,
+//          label_generation.py:114)
+// Replaces ~5 numpy passes (bool mask alloc + where + min + any + max).
+void gn_label_view_stats(const float* scores, const float* widths,
+                         int64_t np_, int v, int ad, float max_width,
+                         float* lmin, unsigned char* has, float* vmax) {
+#pragma omp parallel for schedule(static)
+  for (int64_t p = 0; p < np_; ++p) {
+    const float* sp = scores + p * (int64_t)v * ad;
+    const float* wp = widths + p * (int64_t)v * ad;
+    for (int i = 0; i < v; ++i) {
+      const float* sv = sp + (int64_t)i * ad;
+      const float* wv = wp + (int64_t)i * ad;
+      float mn = INFINITY, mx = -INFINITY;
+      bool h = false;
+      for (int j = 0; j < ad; ++j) {
+        const float x = sv[j];
+        if (x > mx) mx = x;
+        if (x > 0.f && wv[j] <= max_width) {
+          h = true;
+          if (x < mn) mn = x;
+        }
+      }
+      const int64_t o = p * (int64_t)v + i;
+      lmin[o] = mn;
+      has[o] = h ? 1 : 0;
+      vmax[o] = mx;
+    }
+  }
+}
+
+int gn_version() { return 2; }
 
 }  // extern "C"

@@ -323,15 +323,12 @@ def prepare_scene_labels(
     for o in range(n_obj):
         s = grasp_scores_list[o].astype(np.float32, copy=False)
         w = grasp_widths_list[o].astype(np.float32, copy=False)
-        npo, _, a, d = s.shape  # explicit dims: npo may be 0 (fully occluded)
-        mask = (s > 0) & (w <= cfg.grasp_max_width)
-        lmin = np.where(mask, s, np.inf).reshape(npo, v, a * d).min(axis=-1, initial=np.inf)
-        has = mask.reshape(npo, v, a * d).any(axis=-1)
-        lmin_per_obj.append(lmin.astype(np.float32))
+        lmin, has, vmax = native.label_view_stats(s, w, cfg.grasp_max_width)
+        lmin_per_obj.append(lmin)
         has_per_obj.append(has)
         sel = np.unique(seed_local[seed_obj == o])
         if len(sel):
-            vmax = s.reshape(npo, v, a * d).max(axis=-1)  # raw max incl. unmasked
+            # raw max incl. unmasked elements -> the reference u_max
             scene_umax = max(
                 scene_umax, vmax[np.ix_(sel, view_inds_per_obj[o])].max()
             )

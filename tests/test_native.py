@@ -69,3 +69,27 @@ def test_fallbacks_work_regardless(rng):
     np.testing.assert_array_equal(nn, np.arange(10))
     vox = native.voxel_downsample(pts, 0.05)
     assert 0 < len(vox) <= len(pts)
+
+
+def test_label_view_stats_matches_numpy(rng):
+    from graspnet_tpu import native
+
+    npo, v, a, d = 37, 30, 4, 3
+    scores = rng.uniform(-0.1, 1.2, (npo, v, a, d)).astype(np.float32)
+    widths = rng.uniform(0, 0.15, (npo, v, a, d)).astype(np.float32)
+    mw = 0.1
+    lmin, has, vmax = native.label_view_stats(scores, widths, mw)
+
+    mask = (scores > 0) & (widths <= mw)
+    want_lmin = np.where(mask, scores, np.inf).reshape(npo, v, -1).min(axis=-1)
+    want_has = mask.reshape(npo, v, -1).any(axis=-1)
+    want_vmax = scores.reshape(npo, v, -1).max(axis=-1)
+    np.testing.assert_array_equal(lmin, want_lmin.astype(np.float32))
+    np.testing.assert_array_equal(has, want_has)
+    np.testing.assert_array_equal(vmax, want_vmax.astype(np.float32))
+
+    # empty object (fully occluded after visibility filtering)
+    l0, h0, v0 = native.label_view_stats(
+        np.zeros((0, v, a, d), np.float32), np.zeros((0, v, a, d), np.float32), mw
+    )
+    assert l0.shape == (0, v) and h0.shape == (0, v) and v0.shape == (0, v)
