@@ -220,3 +220,27 @@ def test_no_broken_intra_package_imports():
                     ):
                         bad.append((p, m))
     assert not bad, f"broken imports: {bad}"
+
+
+def test_generate_tolerance_cli(tmp_path, monkeypatch):
+    """CLI writes {obj:03d}_tolerance.npy matching the library output."""
+    import sys
+    import numpy as np
+    from graspnet_tpu.apps import generate_tolerance as gt
+    from graspnet_tpu.data.tolerance import generate_tolerance
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "ds"
+    (root / "grasp_label").mkdir(parents=True)
+    pts = rng.uniform(-0.03, 0.03, (24, 3)).astype(np.float32)
+    scores = rng.uniform(0, 1.2, (24, 6, 3, 2)).astype(np.float32)
+    np.savez(root / "grasp_label" / "000_labels.npz", points=pts, scores=scores)
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["generate_tolerance", "--dataset_root", str(root), "--num_objects", "1"],
+    )
+    gt.main()
+    out = np.load(root / "tolerance" / "000_tolerance.npy")
+    want = generate_tolerance(pts, scores)
+    np.testing.assert_array_equal(out, want)
