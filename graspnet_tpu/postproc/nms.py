@@ -29,14 +29,20 @@ def grasp_nms(
     if m == 0:
         return np.zeros((0,), dtype=np.int64)
     scores = grasp_array[:, 0]
-    T = grasp_array[:, 13:16]
-    R = grasp_array[:, 4:13].reshape(-1, 3, 3)
+    T = np.ascontiguousarray(grasp_array[:, 13:16])
+    Rf = np.ascontiguousarray(grasp_array[:, 4:13])  # row-major 3x3 flat
     order = np.argsort(-scores, kind="stable")
 
-    # pairwise suppression predicate, computed once (M is small post-decode)
-    dt = np.linalg.norm(T[:, None, :] - T[None, :, :], axis=-1)
-    dr = rotation_angles(R[:, None], R[None, :])
-    close = (dt < translation_thresh) & (dr < rotation_thresh)
+    # pairwise suppression predicate via two small matmuls instead of
+    # broadcast (M, M, 3, 3) temporaries: trace(R1^T R2) is the elementwise
+    # dot of the flattened matrices, and |t1 - t2|^2 expands to norms + dot
+    tr = Rf @ Rf.T  # (M, M) = trace(R_a^T R_b)
+    cos = np.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    tn = np.sum(T * T, axis=1)
+    d2 = tn[:, None] + tn[None, :] - 2.0 * (T @ T.T)
+    close = (d2 < translation_thresh * translation_thresh) & (
+        cos > np.cos(rotation_thresh)
+    )
 
     keep = []
     suppressed = np.zeros(m, dtype=bool)
