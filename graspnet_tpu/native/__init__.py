@@ -72,6 +72,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             f32p, f32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_float, f32p, u8p, f32p,
         ]
+        lib.gn_greedy_suppress.argtypes = [u8p, i32p, ctypes.c_int, i32p]
+        lib.gn_greedy_suppress.restype = ctypes.c_int
+        lib.gn_grasp_nms.argtypes = [
+            f32p, f32p, i32p, ctypes.c_int, ctypes.c_float, ctypes.c_float, i32p,
+        ]
+        lib.gn_grasp_nms.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -133,6 +139,45 @@ def label_view_stats(scores: np.ndarray, widths: np.ndarray, max_width: float):
         np.float32(max_width), lmin, has, vmax,
     )
     return lmin, has.astype(bool), vmax
+
+
+def grasp_nms_fused(
+    t: np.ndarray, r: np.ndarray, order: np.ndarray, tt2: float, cos_rt: float
+):
+    """Fused greedy grasp NMS; returns kept indices or None w/o the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    m = len(order)
+    t = np.ascontiguousarray(t, dtype=np.float32)
+    r = np.ascontiguousarray(r, dtype=np.float32)
+    order = np.ascontiguousarray(order, dtype=np.int32)
+    keep = np.empty(m, dtype=np.int32)
+    nk = lib.gn_grasp_nms(
+        t, r, order, m, np.float32(tt2), np.float32(cos_rt), keep
+    )
+    return keep[:nk].astype(np.int64)
+
+
+def greedy_suppress(close: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Greedy NMS pass: (M, M) bool close matrix + visit order -> kept indices."""
+    m = len(order)
+    close = np.ascontiguousarray(close, dtype=np.uint8)
+    order = np.ascontiguousarray(order, dtype=np.int32)
+    lib = get_lib()
+    if lib is None:
+        suppressed = np.zeros(m, dtype=bool)
+        keep = []
+        cb = close.astype(bool)
+        for i in order:
+            if suppressed[i]:
+                continue
+            keep.append(i)
+            suppressed |= cb[i]
+        return np.asarray(keep, dtype=np.int64)
+    keep = np.empty(m, dtype=np.int32)
+    nk = lib.gn_greedy_suppress(close.reshape(-1), order, m, keep)
+    return keep[:nk].astype(np.int64)
 
 
 def voxel_downsample(pts: np.ndarray, voxel: float) -> np.ndarray:

@@ -169,6 +169,57 @@ void gn_label_view_stats(const float* scores, const float* widths,
   }
 }
 
-int gn_version() { return 2; }
+// Greedy suppression pass for grasp NMS (postproc/nms.py): visit candidates
+// in `order`; keep a candidate unless suppressed, then suppress everything
+// its `close` row marks.  close is a row-major (m, m) 0/1 matrix.
+// Returns the number of kept indices written to `keep`.
+int gn_greedy_suppress(const unsigned char* close_mat, const int* order,
+                       int m, int* keep) {
+  std::vector<unsigned char> suppressed(m, 0);
+  int nk = 0;
+  for (int oi = 0; oi < m; ++oi) {
+    const int i = order[oi];
+    if (suppressed[i]) continue;
+    keep[nk++] = i;
+    const unsigned char* row = close_mat + (int64_t)i * m;
+    for (int j = 0; j < m; ++j) suppressed[j] |= row[j];
+  }
+  return nk;
+}
+
+// Fully fused grasp NMS: greedy suppression with the pairwise predicate
+// (translation distance < tt AND rotation geodesic < rt) evaluated on the
+// fly only for KEPT rows — no (m, m) matrix is ever materialized.
+// t: (m, 3) translations; r: (m, 9) row-major rotations; order: visit order
+// (descending score).  cos_rt = cos(rotation_thresh), tt2 = thresh^2.
+// trace(R_i^T R_j) = <r_i, r_j> elementwise, so the rotation test is a
+// 9-term dot; the translation test a 3-term squared distance.
+int gn_grasp_nms(const float* t, const float* r, const int* order, int m,
+                 float tt2, float cos_rt, int* keep) {
+  std::vector<unsigned char> suppressed(m, 0);
+  int nk = 0;
+  for (int oi = 0; oi < m; ++oi) {
+    const int i = order[oi];
+    if (suppressed[i]) continue;
+    keep[nk++] = i;
+    const float* ti = t + 3 * (int64_t)i;
+    const float* ri = r + 9 * (int64_t)i;
+#pragma omp parallel for schedule(static) if (m > 4096)
+    for (int j = 0; j < m; ++j) {
+      if (suppressed[j]) continue;
+      const float* tj = t + 3 * (int64_t)j;
+      const float dx = ti[0] - tj[0], dy = ti[1] - tj[1], dz = ti[2] - tj[2];
+      const float d2 = dx * dx + dy * dy + dz * dz;
+      if (d2 >= tt2) continue;
+      const float* rj = r + 9 * (int64_t)j;
+      float tr = 0.f;
+      for (int k = 0; k < 9; ++k) tr += ri[k] * rj[k];
+      if ((tr - 1.f) * 0.5f > cos_rt) suppressed[j] = 1;
+    }
+  }
+  return nk;
+}
+
+int gn_version() { return 3; }
 
 }  // extern "C"

@@ -32,23 +32,23 @@ def grasp_nms(
     T = np.ascontiguousarray(grasp_array[:, 13:16])
     Rf = np.ascontiguousarray(grasp_array[:, 4:13])  # row-major 3x3 flat
     order = np.argsort(-scores, kind="stable")
+    tt2 = translation_thresh * translation_thresh
+    cos_rt = np.cos(rotation_thresh)
 
-    # pairwise suppression predicate via two small matmuls instead of
-    # broadcast (M, M, 3, 3) temporaries: trace(R1^T R2) is the elementwise
-    # dot of the flattened matrices, and |t1 - t2|^2 expands to norms + dot
+    from graspnet_tpu import native
+
+    # fused C++ path: predicate evaluated on the fly for kept rows only,
+    # no (M, M) temporaries
+    keep = native.grasp_nms_fused(T, Rf, order, tt2, cos_rt)
+    if keep is not None:
+        return keep
+
+    # numpy fallback: the pairwise predicate via two small matmuls —
+    # trace(R1^T R2) is the elementwise dot of the flattened matrices, and
+    # |t1 - t2|^2 expands to norms + dot
     tr = Rf @ Rf.T  # (M, M) = trace(R_a^T R_b)
     cos = np.clip((tr - 1.0) * 0.5, -1.0, 1.0)
     tn = np.sum(T * T, axis=1)
     d2 = tn[:, None] + tn[None, :] - 2.0 * (T @ T.T)
-    close = (d2 < translation_thresh * translation_thresh) & (
-        cos > np.cos(rotation_thresh)
-    )
-
-    keep = []
-    suppressed = np.zeros(m, dtype=bool)
-    for i in order:
-        if suppressed[i]:
-            continue
-        keep.append(i)
-        suppressed |= close[i]
-    return np.asarray(keep, dtype=np.int64)
+    close = (d2 < tt2) & (cos > cos_rt)
+    return native.greedy_suppress(close, order)

@@ -93,3 +93,48 @@ def test_label_view_stats_matches_numpy(rng):
         np.zeros((0, v, a, d), np.float32), np.zeros((0, v, a, d), np.float32), mw
     )
     assert l0.shape == (0, v) and h0.shape == (0, v) and v0.shape == (0, v)
+
+
+def test_greedy_suppress_matches_python(rng):
+    from graspnet_tpu import native
+
+    m = 200
+    close = rng.random((m, m)) < 0.05
+    close |= close.T
+    np.fill_diagonal(close, True)
+    order = rng.permutation(m).astype(np.int32)
+
+    got = native.greedy_suppress(close, order)
+
+    suppressed = np.zeros(m, dtype=bool)
+    want = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        want.append(i)
+        suppressed |= close[i]
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_grasp_nms_fused_matches_matrix_path(rng):
+    from graspnet_tpu import native
+
+    m = 300
+    T = rng.uniform(-0.2, 0.2, (m, 3)).astype(np.float32)
+    Rm = np.linalg.qr(rng.normal(size=(m, 3, 3)))[0].astype(np.float32)
+    Rf = Rm.reshape(m, 9)
+    order = rng.permutation(m).astype(np.int32)
+    tt, rt = 0.03, 30 / 180 * np.pi
+    got = native.grasp_nms_fused(T, Rf, order, tt * tt, np.cos(rt))
+    if got is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    tr = Rf @ Rf.T
+    cos = np.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    tn = np.sum(T * T, axis=1)
+    d2 = tn[:, None] + tn[None, :] - 2.0 * (T @ T.T)
+    close = (d2 < tt * tt) & (cos > np.cos(rt))
+    want = native.greedy_suppress(close, order)
+    np.testing.assert_array_equal(got, want)
