@@ -57,14 +57,36 @@ class GraspPipeline:
             grasps, valid = pred_decode(ep, cfg)
             return grasps, valid
 
+        @functools.partial(jax.jit, static_argnames=("top_k",))
+        def _infer_topk(params, cloud, top_k=50):
+            """Complete serving program: network -> decode -> NMS -> top-K.
+
+            Only (B, K, 17) rows leave the chip — NMS runs on device
+            (postproc.nms.nms_top_k), vmapped over frames.
+            """
+            from graspnet_tpu.postproc.nms import nms_top_k
+
+            ep = graspnet_forward(params, cloud, cfg, train=False)
+            grasps, valid = pred_decode(ep, cfg)
+            return jax.vmap(lambda g, v: nms_top_k(g, v, k=top_k))(grasps, valid)
+
         self._infer = _infer
+        self._infer_topk = _infer_topk
         self.timings = PipelineTimings()
 
-    def warmup(self) -> float:
-        """Compile the inference program; returns compile wall time."""
+    def warmup(self, topk: bool = True) -> float:
+        """Compile the serving program; returns compile wall time.
+
+        topk=True compiles the fused network+decode+NMS+top-50 program (the
+        run() default); topk=False the raw decode program used when a
+        collision filter sits between decode and NMS.
+        """
         dummy = jnp.zeros((1, self.cfg.num_point, 3), jnp.float32)
         t0 = time.perf_counter()
-        jax.block_until_ready(self._infer(self.params, dummy))
+        if topk:
+            jax.block_until_ready(self._infer_topk(self.params, dummy))
+        else:
+            jax.block_until_ready(self._infer(self.params, dummy))
         return time.perf_counter() - t0
 
     def sample_cloud(
@@ -120,6 +142,20 @@ class GraspPipeline:
         self.timings.collision_s = time.perf_counter() - t0
         return gg[~mask]
 
+    def get_grasps_topk(self, cloud_sampled: np.ndarray, top_k: int = 50) -> GraspGroup:
+        """Serving fast path: NMS + top-K fused into the device program.
+
+        Matches get_grasps() -> sort -> nms() -> [:top_k] exactly (parity
+        test in tests/test_postproc.py) while shipping only (K, 17) rows.
+        """
+        t0 = time.perf_counter()
+        rows, vmask = self._infer_topk(
+            self.params, jnp.asarray(cloud_sampled, jnp.float32)[None], top_k=top_k
+        )
+        rows, vmask = jax.device_get((rows[0], vmask[0]))
+        self.timings.infer_s = time.perf_counter() - t0
+        return GraspGroup(rows[vmask])
+
     def run(
         self,
         cloud_sampled: np.ndarray,
@@ -130,6 +166,10 @@ class GraspPipeline:
     ) -> GraspGroup:
         """Full frame pipeline. collision_thresh <= 0 skips the filter
         (reference README.md:72 convention: -1 disables it)."""
+        if collision_thresh <= 0 and nms and top_k:
+            # no collision filter between decode and NMS -> the fully fused
+            # on-device program is equivalent and ships 20x less data
+            return self.get_grasps_topk(cloud_sampled, top_k=top_k)
         gg = self.get_grasps(cloud_sampled)
         if collision_thresh > 0 and scene_cloud is not None:
             gg = self.collision_filter(gg, scene_cloud, collision_thresh)

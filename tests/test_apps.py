@@ -244,3 +244,19 @@ def test_generate_tolerance_cli(tmp_path, monkeypatch):
     out = np.load(root / "tolerance" / "000_tolerance.npy")
     want = generate_tolerance(pts, scores)
     np.testing.assert_array_equal(out, want)
+
+
+def test_pipeline_fused_topk_matches_host_path(rng):
+    """run() fused device path == get_grasps + sort + nms + top-K."""
+    from graspnet_tpu.apps.pipeline import GraspPipeline
+    from graspnet_tpu.config import GraspNetConfig
+
+    cfg = GraspNetConfig.tiny()
+    pipe = GraspPipeline(cfg=cfg, seed=0)
+    cloud = rng.uniform(-0.4, 0.4, (cfg.num_point, 3)).astype(np.float32)
+
+    fused = pipe.run(cloud, collision_thresh=-1.0, nms=True, top_k=10)
+    host = pipe.get_grasps(cloud).sort_by_score().nms()[:10]
+    np.testing.assert_allclose(
+        fused.grasp_group_array, host.grasp_group_array, rtol=0, atol=0
+    )

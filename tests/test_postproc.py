@@ -154,3 +154,49 @@ class TestContainers:
         gg.save_npy(path)
         back = GraspGroup.from_npy(path)
         np.testing.assert_array_equal(back.grasp_group_array, g)
+
+
+def test_device_nms_matches_host(rng):
+    """nms_top_k (jitted) == GraspGroup.nms() + top-K on the host."""
+    import jax
+    import jax.numpy as jnp
+    from graspnet_tpu.postproc.grasp import GraspGroup
+    from graspnet_tpu.postproc.nms import nms_top_k
+
+    m = 257
+    arr = np.zeros((m, 17), np.float32)
+    arr[:, 0] = rng.uniform(0, 1, m)
+    arr[:, 13:16] = rng.uniform(-0.1, 0.1, (m, 3))
+    arr[:, 4:13] = np.linalg.qr(rng.normal(size=(m, 3, 3)))[0].reshape(m, 9)
+    valid = rng.random(m) < 0.8
+
+    k = 20
+    rows, vmask = jax.jit(lambda g, v: nms_top_k(g, v, k=k))(
+        jnp.asarray(arr), jnp.asarray(valid)
+    )
+    rows, vmask = np.asarray(rows), np.asarray(vmask)
+
+    gg = GraspGroup(arr[valid]).sort_by_score().nms()[:k]
+    want = gg.grasp_group_array
+    nk = min(len(want), k)
+    assert vmask[:nk].all() and not vmask[nk:].any()
+    np.testing.assert_allclose(rows[:nk], want[:nk], rtol=0, atol=0)
+
+
+def test_device_nms_deep_suppression_chain(rng):
+    """Adversarial chain: each grasp suppresses the next — the Jacobi-sweep
+    solver must still reproduce exact greedy (alternating keep pattern)."""
+    import jax
+    import jax.numpy as jnp
+    from graspnet_tpu.postproc.nms import nms_keep_mask
+
+    m = 64
+    arr = np.zeros((m, 17), np.float32)
+    arr[:, 0] = np.linspace(1.0, 0.1, m)  # strictly decreasing scores
+    arr[:, 13] = np.arange(m) * 0.02  # 2 cm apart: within 3 cm of neighbors
+    arr[:, 4:13] = np.tile(np.eye(3).reshape(9), (m, 1))
+    keep = np.asarray(
+        jax.jit(nms_keep_mask)(jnp.asarray(arr), jnp.ones(m, bool))
+    )
+    # neighbor suppression only (2cm < 3cm but 4cm > 3cm) -> keep every other
+    assert keep[::2].all() and not keep[1::2].any()
