@@ -95,8 +95,108 @@ def collision_ious(
     return global_iou, part_ious, jnp.sum(inner, axis=1)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("approach_dist", "voxel_size", "block")
+)
+def collision_counts_blocked(
+    scene_points: jax.Array,  # (Npad, 3), padding = +1e9 sentinel
+    translations: jax.Array,  # (Mpad, 3)
+    rotations: jax.Array,  # (Mpad, 3, 3)
+    heights: jax.Array,
+    depths: jax.Array,
+    widths: jax.Array,
+    *,
+    approach_dist: float = 0.03,
+    voxel_size: float = 0.005,
+    block: int = 8192,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Streaming collision IoUs: O(block x M) memory, matmuls on the MXU.
+
+    Same math as collision_ious but never materializes the (M, N, 3)
+    gripper-frame tensor: per N-block, the three coordinate planes are
+    (Nb, 3) @ (3, M) matmuls (tx[n,m] = <s_n, r_m^col0> - <t_m, r_m^col0>),
+    and only the per-grasp mask COUNTS survive the lax.scan.  Shapes are
+    padding-friendly: sentinel points at +1e9 fail every volume test.
+    """
+    approach_dist = max(approach_dist, FINGER_WIDTH)
+    n = scene_points.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    pts = jnp.pad(scene_points, ((0, pad), (0, 0)), constant_values=1e9)
+    pts = pts.reshape(nb, block, 3)
+
+    # proj[m, k] = sum_j t[m, j] * r[m, j, k]  (the grasp-center projection)
+    proj = jnp.einsum("mj,mjk->mk", translations, rotations)
+    h = heights[None, :]
+    d = depths[None, :]
+    w = widths[None, :]
+
+    def body(acc, sb):  # sb: (block, 3)
+        tx = sb @ rotations[:, :, 0].T - proj[None, :, 0]  # (block, M)
+        ty = sb @ rotations[:, :, 1].T - proj[None, :, 1]
+        tz = sb @ rotations[:, :, 2].T - proj[None, :, 2]
+
+        mask1 = (tz > -h / 2) & (tz < h / 2)
+        mask2 = (tx > d - FINGER_LENGTH) & (tx < d)
+        mask3 = ty > -(w / 2 + FINGER_WIDTH)
+        mask4 = ty < -w / 2
+        mask5 = ty < (w / 2 + FINGER_WIDTH)
+        mask6 = ty > w / 2
+        mask7 = (tx <= d - FINGER_LENGTH) & (tx > d - FINGER_LENGTH - FINGER_WIDTH)
+        mask8 = (tx <= d - FINGER_LENGTH - FINGER_WIDTH) & (
+            tx > d - FINGER_LENGTH - FINGER_WIDTH - approach_dist
+        )
+        left = mask1 & mask2 & mask3 & mask4
+        right = mask1 & mask2 & mask5 & mask6
+        bottom = mask1 & mask3 & mask5 & mask7
+        shifting = mask1 & mask3 & mask5 & mask8
+        inner = mask1 & mask2 & (~mask4) & (~mask6)
+        counts = jnp.stack(
+            [
+                jnp.sum(left, axis=0),
+                jnp.sum(right, axis=0),
+                jnp.sum(bottom, axis=0),
+                jnp.sum(shifting, axis=0),
+                jnp.sum(inner, axis=0),
+            ],
+            axis=0,
+        )  # (5, M)
+        return acc + counts, None
+
+    m = translations.shape[0]
+    counts, _ = jax.lax.scan(body, jnp.zeros((5, m), jnp.int32), pts)
+    left_c, right_c, bottom_c, shift_c, inner_c = counts
+
+    v3 = voxel_size**3
+    lr_vol = (heights * FINGER_LENGTH * FINGER_WIDTH) / v3
+    bottom_vol = (heights * (widths + 2 * FINGER_WIDTH) * FINGER_WIDTH) / v3
+    shift_vol = (heights * (widths + 2 * FINGER_WIDTH) * approach_dist) / v3
+    volume = lr_vol * 2 + bottom_vol + shift_vol
+    global_iou = (left_c + right_c + bottom_c + shift_c) / (volume + 1e-6)
+    part_ious = jnp.stack(
+        [
+            left_c / (lr_vol + 1e-6),
+            right_c / (lr_vol + 1e-6),
+            bottom_c / (bottom_vol + 1e-6),
+            shift_c / (shift_vol + 1e-6),
+        ],
+        axis=1,
+    )
+    return global_iou, part_ious, inner_c
+
+
+def _bucket(n: int, quantum: int) -> int:
+    return max(quantum, -(-n // quantum) * quantum)
+
+
 class ModelFreeCollisionDetector:
-    """Drop-in equivalent of the reference detector (collision_detector.py:10)."""
+    """Drop-in equivalent of the reference detector (collision_detector.py:10).
+
+    Shapes are bucketed (grasps to multiples of 256, scene points to
+    multiples of 8192) so repeated frames hit the jit cache instead of
+    recompiling per (M, N) pair, and the IoU pass streams N-blocks so
+    memory stays O(block x M) even for ~1M-point service clouds.
+    """
 
     def __init__(self, scene_points: np.ndarray, voxel_size: float = 0.005):
         from graspnet_tpu import native
@@ -118,18 +218,39 @@ class ModelFreeCollisionDetector:
         return_ious: bool = False,
     ):
         g = grasp_group.grasp_group_array
+        m = len(g)
+        if m == 0:
+            empty = np.zeros((0,), bool)
+            if not (return_empty_grasp or return_ious):
+                return empty
+            ret = [empty]
+            if return_empty_grasp:
+                ret.append(np.zeros((0,), bool))
+            if return_ious:
+                ret.append([np.zeros((0,)) for _ in range(5)])
+            return ret
+        mp = _bucket(m, 256)
+        npad = _bucket(len(self.scene_points), 8192)
+        gp = np.zeros((mp, 17), np.float32)
+        gp[:m] = g
+        gp[m:, 4:13] = np.eye(3).reshape(9)  # valid rotations for padding
+        pts = np.full((npad, 3), 1e9, np.float32)
+        pts[: len(self.scene_points)] = self.scene_points
         global_iou, part_ious, inner_count = jax.device_get(
-            collision_ious(
-                jnp.asarray(self.scene_points),
-                jnp.asarray(g[:, 13:16]),
-                jnp.asarray(g[:, 4:13].reshape(-1, 3, 3)),
-                jnp.asarray(g[:, 2]),
-                jnp.asarray(g[:, 3]),
-                jnp.asarray(g[:, 1]),
+            collision_counts_blocked(
+                jnp.asarray(pts),
+                jnp.asarray(gp[:, 13:16]),
+                jnp.asarray(gp[:, 4:13].reshape(-1, 3, 3)),
+                jnp.asarray(gp[:, 2]),
+                jnp.asarray(gp[:, 3]),
+                jnp.asarray(gp[:, 1]),
                 approach_dist=float(approach_dist),
                 voxel_size=float(self.voxel_size),
             )
         )
+        global_iou = global_iou[:m]
+        part_ious = part_ious[:m]
+        inner_count = inner_count[:m]
         collision_mask = global_iou > collision_thresh
         if not (return_empty_grasp or return_ious):
             return collision_mask

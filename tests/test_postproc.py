@@ -200,3 +200,57 @@ def test_device_nms_deep_suppression_chain(rng):
     )
     # neighbor suppression only (2cm < 3cm but 4cm > 3cm) -> keep every other
     assert keep[::2].all() and not keep[1::2].any()
+
+
+def test_blocked_collision_matches_dense(rng):
+    """collision_counts_blocked == collision_ious incl. padding behavior."""
+    import jax.numpy as jnp
+    from graspnet_tpu.postproc.collision import (
+        collision_counts_blocked,
+        collision_ious,
+    )
+
+    n, m = 700, 37
+    pts = rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32)
+    t = rng.uniform(-0.25, 0.25, (m, 3)).astype(np.float32)
+    r = np.linalg.qr(rng.normal(size=(m, 3, 3)))[0].astype(np.float32)
+    h = np.full(m, 0.02, np.float32)
+    d = rng.choice([0.01, 0.02, 0.03, 0.04], m).astype(np.float32)
+    w = rng.uniform(0.01, 0.1, m).astype(np.float32)
+
+    want = collision_ious(
+        jnp.asarray(pts), jnp.asarray(t), jnp.asarray(r),
+        jnp.asarray(h), jnp.asarray(d), jnp.asarray(w),
+        approach_dist=0.05, voxel_size=0.01,
+    )
+    # pad scene with sentinels like the detector does
+    pts_p = np.full((1024, 3), 1e9, np.float32)
+    pts_p[:n] = pts
+    got = collision_counts_blocked(
+        jnp.asarray(pts_p), jnp.asarray(t), jnp.asarray(r),
+        jnp.asarray(h), jnp.asarray(d), jnp.asarray(w),
+        approach_dist=0.05, voxel_size=0.01, block=256,
+    )
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_collision_detector_bucketing_no_shape_explosion(rng):
+    """Different M values within a bucket reuse one compiled program."""
+    from graspnet_tpu.postproc.collision import ModelFreeCollisionDetector
+    from graspnet_tpu.postproc.grasp import GraspGroup
+
+    scene = rng.uniform(-0.3, 0.3, (5000, 3)).astype(np.float32)
+    det = ModelFreeCollisionDetector(scene, voxel_size=0.01)
+    for m in (3, 60, 255):
+        arr = np.zeros((m, 17), np.float32)
+        arr[:, 0] = rng.uniform(0, 1, m)
+        arr[:, 1] = 0.05
+        arr[:, 2] = 0.02
+        arr[:, 3] = 0.02
+        arr[:, 4:13] = np.linalg.qr(rng.normal(size=(m, 3, 3)))[0].reshape(m, 9)
+        arr[:, 13:16] = rng.uniform(-0.25, 0.25, (m, 3))
+        mask = det.detect(GraspGroup(arr), collision_thresh=0.01)
+        assert mask.shape == (m,)
+    # zero-grasp edge case
+    assert det.detect(GraspGroup(np.zeros((0, 17), np.float32))).shape == (0,)
