@@ -68,8 +68,20 @@ def parse_args():
 
 def main():
     args = parse_args()
+    # multi-host: no-op unless GRASPNET_COORDINATOR / NUM_PROCESSES are set
+    # (one process per host; XLA all-reduces ride ICI/DCN)
+    from graspnet_tpu.parallel.distributed import initialize as dist_init
+
+    multihost = dist_init()
     os.makedirs(args.log_dir, exist_ok=True)
     logger = MetricLogger(args.log_dir)
+    if multihost:
+        import jax
+
+        logger.log(
+            f"multi-host runtime: process {jax.process_index()}/{jax.process_count()},"
+            f" {len(jax.devices())} global devices"
+        )
 
     cfg = (
         GraspNetConfig.tiny()

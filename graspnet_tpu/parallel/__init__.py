@@ -5,6 +5,11 @@ from graspnet_tpu.parallel.candidate import (
     candidate_sharded_infer,
     data_parallel_infer,
 )
+from graspnet_tpu.parallel.distributed import (
+    initialize as distributed_initialize,
+    global_mesh,
+    process_local_batch_slice,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +17,7 @@ __all__ = [
     "replicate",
     "candidate_sharded_infer",
     "data_parallel_infer",
+    "distributed_initialize",
+    "global_mesh",
+    "process_local_batch_slice",
 ]

@@ -82,3 +82,19 @@ class TestDataParallel:
         grasps_r, valid_r = jax.device_get(reference_infer(params, clouds, cfg))
         np.testing.assert_array_equal(valid_s, valid_r)
         np.testing.assert_allclose(grasps_s, grasps_r, atol=1e-5, rtol=1e-5)
+
+
+def test_distributed_helpers_single_host():
+    """initialize() is a no-op without env; helpers work on one host."""
+    import os
+    from graspnet_tpu.parallel import distributed as dist
+
+    assert not dist.initialize()  # no env set -> single host
+    mesh = dist.global_mesh()
+    assert mesh.devices.size >= 1 and mesh.axis_names == ("data",)
+    import jax
+
+    sl = dist.process_local_batch_slice(8)
+    assert sl == slice(0, 8)  # single process loads the whole batch
+    mesh2 = dist.global_mesh(("data", "candidate"), shape=(1, mesh.devices.size))
+    assert dict(mesh2.shape)["candidate"] == mesh.devices.size
