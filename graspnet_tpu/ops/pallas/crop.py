@@ -80,51 +80,149 @@ def _crop_kernel(
     ball: bool,
     sb: int,
 ):
-    cols_x, cols_y, cols_z = [], [], []
+    """All SB*D selections of the program batched into full-width matmuls.
 
+    Two structural facts make this ~2x the per-(seed,depth) version:
+
+      * the gathered samples' coordinates come from the SHARED raw x/y/z
+        planes — center-subtract and gripper-frame rotation commute with the
+        gather (same float ops on the same values), so ONE (SB*D*NS, 384)
+        one-hot product replaces SB*D separate M=64 (-> padded 128) gathers
+        from per-seed rotated planes;
+      * the in-tile slot position needs only the winning tile's LOCAL
+        running-count row (values <= 128, exact in bf16) plus the tile's
+        start count (computed per-slot on the VPU), so that gather runs at
+        bf16 MXU rate instead of gathering the f32 global-count plane.
+    """
+    nsel = sb * ndepth
+    x_pl = pts_ref[0, 0:g, :]
+    y_pl = pts_ref[0, g : 2 * g, :]
+    z_pl = pts_ref[0, 2 * g : 3 * g, :]
+
+    masks = []  # nsel x (g, 128), seed-major / depth-minor
     for s in range(sb):
         cx = seed_ref[0, s, 0, 0]
         cy = seed_ref[0, s, 0, 1]
         cz = seed_ref[0, s, 0, 2]
-        dx = pts_ref[0, 0:g, :] - cx
-        dy = pts_ref[0, g : 2 * g, :] - cy
-        dz = pts_ref[0, 2 * g : 3 * g, :] - cz
+        dx = x_pl - cx
+        dy = y_pl - cy
+        dz = z_pl - cz
         if ball:
-            # SA-stage mode: unrotated offsets, full squared distance mask
-            x_r, y_r, z_r = dx, dy, dz
             yz2 = dx * dx + dy * dy + dz * dz
+            masks.append((yz2 < r2).astype(jnp.float32))
         else:
-            # gripper-frame offsets: offset @ R (reference
-            # pointnet2_utils.py:527-530 uses the same product for the
-            # grouped features as the query mask)
             x_r = dx * rot_ref[0, s, 0, 0] + dy * rot_ref[0, s, 0, 3] + dz * rot_ref[0, s, 0, 6]
             y_r = dx * rot_ref[0, s, 0, 1] + dy * rot_ref[0, s, 0, 4] + dz * rot_ref[0, s, 0, 7]
             z_r = dx * rot_ref[0, s, 0, 2] + dy * rot_ref[0, s, 0, 5] + dz * rot_ref[0, s, 0, 8]
             yz2 = y_r * y_r + z_r * z_r
+            for d in range(ndepth):
+                masks.append(
+                    ((yz2 < r2) & (x_r > hmin) & (x_r < hmaxs[d])).astype(
+                        jnp.float32
+                    )
+                )
 
-        for d in range(ndepth):
-            if ball:
-                mask = (yz2 < r2).astype(jnp.float32)
-            else:
-                mask = (
-                    (yz2 < r2) & (x_r > hmin) & (x_r < hmaxs[d])
-                ).astype(jnp.float32)
-            # selection + coordinate gather share ONE one-hot matmul over the
-            # lane-concatenated [running-count | x_r | y_r | z_r] planes
-            sel = _select_hits_core(
-                mask, g, ns, extras=(x_r, y_r, z_r), need_idx=False
+    # in-tile inclusive running counts for ALL selections: one bf16 matmul
+    lane_i = _fiota((_LANE, _LANE), 0)
+    lane_j = _fiota((_LANE, _LANE), 1)
+    ut = (lane_i <= lane_j).astype(jnp.bfloat16)
+    mask_all = jnp.concatenate(masks, axis=0)  # (nsel*g, 128)
+    local_all = jnp.dot(
+        mask_all.astype(jnp.bfloat16), ut, preferred_element_type=jnp.float32
+    )  # counts <= 128: exact
+    segtot_all = local_all[:, _LANE - 1 :]  # (nsel*g, 1)
+
+    # everything below stays in lane ("row") orientation — Mosaic has no
+    # cross-lane transposes, so per-tile prefix sums are (g, g) VPU
+    # broadcast-reductions of the natural (g, 1) column into (1, g) rows,
+    # and the tile one-hots are built TRANSPOSED as (ns, g) so the gathers
+    # are plain  T @ planes  matmuls
+    gi = _fiota((g, g), 0)
+    gj = _fiota((g, g), 1)
+    incl = (gi <= gj).astype(jnp.float32)  # [t', t] : t' <= t
+    diag = (gi == gj).astype(jnp.float32)
+    slots_col = _fiota((ns, 1), 0) + 1.0
+    lane_g = _fiota((ns, g), 1)
+
+    tile_hots = []  # (ns, g) winning-tile one-hots (transposed)
+    pcols = []  # (ns, 1) in-tile lane positions
+    valids = []  # (ns, 1) slot-has-real-hit
+    totals = []  # (1, 1) hits in selection
+    for k in range(nsel):
+        st_col = segtot_all[k * g : (k + 1) * g, :]  # (g, 1)
+        se_row = jnp.sum(incl * st_col, axis=0, keepdims=True)  # (1, g) incl.
+        segstart_row = se_row - jnp.sum(diag * st_col, axis=0, keepdims=True)
+        gstar_col = jnp.sum(
+            (se_row < slots_col).astype(jnp.float32), axis=1, keepdims=True
+        )  # (ns, 1) winning tile per slot
+        gstar_col = jnp.minimum(gstar_col, float(g - 1))
+        t_hot = (lane_g == gstar_col).astype(jnp.float32)  # (ns, g)
+        tile_hots.append(t_hot)
+        segstart_col = jnp.sum(t_hot * segstart_row, axis=1, keepdims=True)
+        # in-tile position: #(local running count < slot − tile start count);
+        # local counts <= 128 are exact in bf16, so this gather runs at bf16
+        # MXU rate (the f32 global-count plane gather it replaces cannot)
+        rows_local = jnp.dot(
+            t_hot.astype(jnp.bfloat16),
+            local_all[k * g : (k + 1) * g, :].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # (ns, 128) exact
+        p_col = jnp.sum(
+            (rows_local < (slots_col - segstart_col)).astype(jnp.float32),
+            axis=1,
+            keepdims=True,
+        )
+        pcols.append(jnp.minimum(p_col, float(_LANE - 1)))
+        total = se_row[0:1, g - 1 : g]
+        totals.append(total)
+        valids.append(slots_col <= total)
+
+    # ONE full-width f32 gather for every selection's sample coordinates,
+    # straight from the shared raw planes
+    t_cat = jnp.concatenate(tile_hots, axis=0)  # (nsel*ns, g)
+    planes_cat = jnp.concatenate([x_pl, y_pl, z_pl], axis=1)  # (g, 384)
+    rows_xyz = jnp.dot(
+        t_cat, planes_cat, preferred_element_type=jnp.float32
+    )  # (nsel*ns, 384)
+    p_cat = jnp.concatenate(pcols, axis=0)  # (nsel*ns, 1)
+    lhot = (_fiota((nsel * ns, _LANE), 1) == p_cat).astype(jnp.float32)
+    raw_x = jnp.sum(rows_xyz[:, 0:_LANE] * lhot, axis=1, keepdims=True)
+    raw_y = jnp.sum(rows_xyz[:, _LANE : 2 * _LANE] * lhot, axis=1, keepdims=True)
+    raw_z = jnp.sum(rows_xyz[:, 2 * _LANE :] * lhot, axis=1, keepdims=True)
+
+    # reference padding on the RAW values (the per-slot transform below is
+    # elementwise, so padding before == padding after): empty slots -> first
+    # hit of the selection; zero-hit selections -> point 0
+    p0 = (x_pl[0:1, 0:1], y_pl[0:1, 0:1], z_pl[0:1, 0:1])
+    cols_x, cols_y, cols_z = [], [], []
+    for k in range(nsel):
+        s = k // ndepth
+        sl = slice(k * ns, (k + 1) * ns)
+        vx, vy, vz = raw_x[sl], raw_y[sl], raw_z[sl]
+        first = lambda v: v[0:1, 0:1]  # noqa: E731
+        vx = jnp.where(totals[k] > 0.0, jnp.where(valids[k], vx, first(vx)), p0[0])
+        vy = jnp.where(totals[k] > 0.0, jnp.where(valids[k], vy, first(vy)), p0[1])
+        vz = jnp.where(totals[k] > 0.0, jnp.where(valids[k], vz, first(vz)), p0[2])
+        # center-subtract (+ rotation into the gripper frame) AFTER the
+        # gather: identical float ops on identical values as the reference's
+        # transform-then-gather order
+        dx = vx - seed_ref[0, s, 0, 0]
+        dy = vy - seed_ref[0, s, 0, 1]
+        dz = vz - seed_ref[0, s, 0, 2]
+        if ball:
+            cols_x.append(dx)
+            cols_y.append(dy)
+            cols_z.append(dz)
+        else:
+            cols_x.append(
+                dx * rot_ref[0, s, 0, 0] + dy * rot_ref[0, s, 0, 3] + dz * rot_ref[0, s, 0, 6]
             )
-            valid_col, total = sel["valid_col"], sel["total"]
-            sx, sy, sz = sel["picked"]
-            # padding: empty slots -> first hit; zero-hit seeds -> point 0
-            first = lambda v: v[0:1, 0:1]  # noqa: E731
-            p0 = (x_r[0:1, 0:1], y_r[0:1, 0:1], z_r[0:1, 0:1])
-            sx = jnp.where(total > 0.0, jnp.where(valid_col, sx, first(sx)), p0[0])
-            sy = jnp.where(total > 0.0, jnp.where(valid_col, sy, first(sy)), p0[1])
-            sz = jnp.where(total > 0.0, jnp.where(valid_col, sz, first(sz)), p0[2])
-            cols_x.append(sx)
-            cols_y.append(sy)
-            cols_z.append(sz)
+            cols_y.append(
+                dx * rot_ref[0, s, 0, 1] + dy * rot_ref[0, s, 0, 4] + dz * rot_ref[0, s, 0, 7]
+            )
+            cols_z.append(
+                dx * rot_ref[0, s, 0, 2] + dy * rot_ref[0, s, 0, 5] + dz * rot_ref[0, s, 0, 8]
+            )
 
     # one MLP over ALL (seed, depth, sample) rows of the block — (SB*D*NS, C)
     # matmuls keep the MXU busy instead of SB*D tiny ones
@@ -155,7 +253,7 @@ def _crop_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "radius", "hmin", "hmax_list", "nsample", "normalize", "ball"
+        "radius", "hmin", "hmax_list", "nsample", "normalize", "ball", "sb"
     ),
 )
 def crop_fused_pallas(
@@ -169,6 +267,7 @@ def crop_fused_pallas(
     nsample: int,
     normalize: float = 1.0,
     ball: bool = False,
+    sb: int | None = None,
 ) -> jax.Array:
     """Fused CloudCrop: (B, Ns, D, C3) pooled features.
 
@@ -185,7 +284,11 @@ def crop_fused_pallas(
     ndepth = len(hmax_list)
     g = -(-n // _LANE)
     c3 = folded_w[4].shape[1]
-    sb = 8 if m % 8 == 0 else (4 if m % 4 == 0 else 1)
+    if sb is None:
+        if ball and m % 16 == 0:
+            sb = 16  # single-depth programs are small; bigger blocks win
+        else:
+            sb = 8 if m % 8 == 0 else (4 if m % 4 == 0 else 1)
 
     planes = jnp.transpose(xyz, (0, 2, 1))
     if g * _LANE != n:
