@@ -95,12 +95,14 @@ def three_nn(unknown: jax.Array, known: jax.Array):
     return jax.vmap(per_scene)(unknown, known)
 
 
+@jax.custom_vjp
 def three_interpolate(features: jax.Array, idx: jax.Array, weight: jax.Array) -> jax.Array:
     """Weighted sum of 3 neighbor feature rows.
 
     Channels-last analogue of three_interpolate_kernel
-    (interpolate_gpu.cu:77-113); backward (atomicAdd scatter, :122-159) comes
-    from take_along_axis.
+    (interpolate_gpu.cu:77-113); the feature backward (atomicAdd scatter,
+    :122-159) runs as one-hot MXU matmuls (ops/scatter.py) instead of
+    XLA's near-serial TPU scatter.
 
     Args:
       features: (B, m, C) source features.
@@ -115,3 +117,28 @@ def three_interpolate(features: jax.Array, idx: jax.Array, weight: jax.Array) ->
         features, idx.reshape(b, n * 3, 1), axis=1
     ).reshape(b, n, 3, features.shape[-1])
     return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+def _three_interpolate_fwd(features, idx, weight):
+    return three_interpolate(features, idx, weight), (features, idx, weight)
+
+
+def _three_interpolate_bwd(res, g):
+    from graspnet_tpu.ops.scatter import _int_zero, scatter_add_rows
+
+    features, idx, weight = res
+    b, n, _ = idx.shape
+    m = features.shape[1]
+    c = features.shape[-1]
+    # d_features[b, j, c] = sum_{(i,k): idx=j} weight[b,i,k] * g[b,i,c]
+    wg = weight[..., None] * g[:, :, None, :]  # (B, n, 3, C)
+    d_feat = scatter_add_rows(wg.reshape(b, n * 3, c), idx.reshape(b, n * 3), m)
+    # d_weight[b, i, k] = <features[b, idx[b,i,k]], g[b, i]>
+    gathered = jnp.take_along_axis(
+        features, idx.reshape(b, n * 3, 1), axis=1
+    ).reshape(b, n, 3, c)
+    d_weight = jnp.sum(gathered * g[:, :, None, :], axis=-1)
+    return d_feat, _int_zero(idx), d_weight
+
+
+three_interpolate.defvjp(_three_interpolate_fwd, _three_interpolate_bwd)

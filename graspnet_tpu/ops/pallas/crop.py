@@ -31,8 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 from graspnet_tpu.ops.pallas.query import (
     _LANE,
     _SENTINEL,
+    _program_select,
     _select_first_hits_vmem,
-    _select_hits_core,
 )
 
 
@@ -122,64 +122,14 @@ def _crop_kernel(
                     )
                 )
 
-    # in-tile inclusive running counts for ALL selections: one bf16 matmul
-    lane_i = _fiota((_LANE, _LANE), 0)
-    lane_j = _fiota((_LANE, _LANE), 1)
-    ut = (lane_i <= lane_j).astype(jnp.bfloat16)
-    mask_all = jnp.concatenate(masks, axis=0)  # (nsel*g, 128)
-    local_all = jnp.dot(
-        mask_all.astype(jnp.bfloat16), ut, preferred_element_type=jnp.float32
-    )  # counts <= 128: exact
-    segtot_all = local_all[:, _LANE - 1 :]  # (nsel*g, 1)
-
-    # everything below stays in lane ("row") orientation — Mosaic has no
-    # cross-lane transposes, so per-tile prefix sums are (g, g) VPU
-    # broadcast-reductions of the natural (g, 1) column into (1, g) rows,
-    # and the tile one-hots are built TRANSPOSED as (ns, g) so the gathers
-    # are plain  T @ planes  matmuls
-    gi = _fiota((g, g), 0)
-    gj = _fiota((g, g), 1)
-    incl = (gi <= gj).astype(jnp.float32)  # [t', t] : t' <= t
-    diag = (gi == gj).astype(jnp.float32)
-    slots_col = _fiota((ns, 1), 0) + 1.0
-    lane_g = _fiota((ns, g), 1)
-
-    tile_hots = []  # (ns, g) winning-tile one-hots (transposed)
-    pcols = []  # (ns, 1) in-tile lane positions
-    valids = []  # (ns, 1) slot-has-real-hit
-    totals = []  # (1, 1) hits in selection
-    for k in range(nsel):
-        st_col = segtot_all[k * g : (k + 1) * g, :]  # (g, 1)
-        se_row = jnp.sum(incl * st_col, axis=0, keepdims=True)  # (1, g) incl.
-        segstart_row = se_row - jnp.sum(diag * st_col, axis=0, keepdims=True)
-        gstar_col = jnp.sum(
-            (se_row < slots_col).astype(jnp.float32), axis=1, keepdims=True
-        )  # (ns, 1) winning tile per slot
-        gstar_col = jnp.minimum(gstar_col, float(g - 1))
-        t_hot = (lane_g == gstar_col).astype(jnp.float32)  # (ns, g)
-        tile_hots.append(t_hot)
-        segstart_col = jnp.sum(t_hot * segstart_row, axis=1, keepdims=True)
-        # in-tile position: #(local running count < slot − tile start count);
-        # local counts <= 128 are exact in bf16, so this gather runs at bf16
-        # MXU rate (the f32 global-count plane gather it replaces cannot)
-        rows_local = jnp.dot(
-            t_hot.astype(jnp.bfloat16),
-            local_all[k * g : (k + 1) * g, :].astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )  # (ns, 128) exact
-        p_col = jnp.sum(
-            (rows_local < (slots_col - segstart_col)).astype(jnp.float32),
-            axis=1,
-            keepdims=True,
-        )
-        pcols.append(jnp.minimum(p_col, float(_LANE - 1)))
-        total = se_row[0:1, g - 1 : g]
-        totals.append(total)
-        valids.append(slots_col <= total)
+    # program-wide first-ns-hits selection (shared helper; see
+    # ops/pallas/query.py::_program_select for the batching structure)
+    sel = _program_select(masks, g, ns)
+    pcols, valids, totals = sel["p_col"], sel["valid"], sel["total"]
 
     # ONE full-width f32 gather for every selection's sample coordinates,
     # straight from the shared raw planes
-    t_cat = jnp.concatenate(tile_hots, axis=0)  # (nsel*ns, g)
+    t_cat = jnp.concatenate(sel["t_hot"], axis=0)  # (nsel*ns, g)
     planes_cat = jnp.concatenate([x_pl, y_pl, z_pl], axis=1)  # (g, 384)
     rows_xyz = jnp.dot(
         t_cat, planes_cat, preferred_element_type=jnp.float32

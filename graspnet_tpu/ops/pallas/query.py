@@ -140,6 +140,78 @@ def _select_hits_core(
     return out
 
 
+def _program_select(masks, g: int, ns: int):
+    """Lane-oriented first-ns-hits selection for ALL masks of one program.
+
+    The per-selection variant (_select_hits_core) pads badly on the MXU:
+    M=ns rows pad to 128 and each selection re-dispatches its own prefix
+    matmul.  Here the K = len(masks) selections share:
+
+      * ONE (K*g, 128) x (128, 128) bf16 in-tile prefix-sum matmul;
+      * per-selection (g, g) VPU broadcast-reductions for the tile-total
+        prefix (columns in, rows out — Mosaic has no cross-lane transpose,
+        so both quantities are derived in the orientation they are used);
+      * per-selection (ns, g) @ (g, 128) bf16 gathers of the LOCAL count
+        rows (values <= 128: exact in bf16) for the in-tile positions.
+
+    All arithmetic stays exact, so selected indices are bit-identical to
+    the sequential scan.
+
+    Returns dict of per-selection lists:
+      t_hot: (ns, g) f32 winning-tile one-hot (TRANSPOSED: slot rows, tile
+        lanes) — `t_hot @ plane` gathers the winning tile's row;
+      p_col: (ns, 1) f32 in-tile lane position;
+      gstar_col: (ns, 1) f32 winning tile;
+      valid: (ns, 1) bool slot-has-real-hit;
+      total: (1, 1) f32 hits in the selection.
+    """
+    nsel = len(masks)
+    lane_i = _fiota((_LANE, _LANE), 0)
+    lane_j = _fiota((_LANE, _LANE), 1)
+    ut = (lane_i <= lane_j).astype(jnp.bfloat16)
+    mask_all = jnp.concatenate(masks, axis=0)  # (nsel*g, 128)
+    local_all = jnp.dot(
+        mask_all.astype(jnp.bfloat16), ut, preferred_element_type=jnp.float32
+    )  # counts <= 128: exact
+    segtot_all = local_all[:, _LANE - 1 :]  # (nsel*g, 1)
+
+    gi = _fiota((g, g), 0)
+    gj = _fiota((g, g), 1)
+    incl = (gi <= gj).astype(jnp.float32)  # [t', t] : t' <= t
+    diag = (gi == gj).astype(jnp.float32)
+    slots_col = _fiota((ns, 1), 0) + 1.0
+    lane_g = _fiota((ns, g), 1)
+
+    out = {"t_hot": [], "p_col": [], "gstar_col": [], "valid": [], "total": []}
+    for k in range(nsel):
+        st_col = segtot_all[k * g : (k + 1) * g, :]  # (g, 1)
+        se_row = jnp.sum(incl * st_col, axis=0, keepdims=True)  # (1, g) incl.
+        segstart_row = se_row - jnp.sum(diag * st_col, axis=0, keepdims=True)
+        gstar_col = jnp.sum(
+            (se_row < slots_col).astype(jnp.float32), axis=1, keepdims=True
+        )  # (ns, 1) winning tile per slot
+        gstar_col = jnp.minimum(gstar_col, float(g - 1))
+        t_hot = (lane_g == gstar_col).astype(jnp.float32)  # (ns, g)
+        segstart_col = jnp.sum(t_hot * segstart_row, axis=1, keepdims=True)
+        rows_local = jnp.dot(
+            t_hot.astype(jnp.bfloat16),
+            local_all[k * g : (k + 1) * g, :].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # (ns, 128) exact
+        p_col = jnp.sum(
+            (rows_local < (slots_col - segstart_col)).astype(jnp.float32),
+            axis=1,
+            keepdims=True,
+        )
+        total = se_row[0:1, g - 1 : g]
+        out["t_hot"].append(t_hot)
+        out["p_col"].append(jnp.minimum(p_col, float(_LANE - 1)))
+        out["gstar_col"].append(gstar_col)
+        out["valid"].append(slots_col <= total)
+        out["total"].append(total)
+    return out
+
+
 def _select_first_hits_vmem(mask: jax.Array, g: int, ns: int):
     """First-ns-hits selection on a (G, 128) VMEM-resident mask.
 
@@ -405,6 +477,7 @@ def _query_batched_kernel(
     hmaxs: Tuple[float, ...],
     rotate: bool,
     sb: int,
+    use_program_select: bool,
 ):
     masks = []
     for s in range(sb):
@@ -427,7 +500,20 @@ def _query_batched_kernel(
             d2 = dx * dx + dy * dy + dz * dz
             masks.append((d2 < r2).astype(jnp.float32))
 
-    out_ref[0, :, :] = _select_idx_batched(masks, g, ns)  # (SB*D*NS, 1)
+    if use_program_select:
+        # large-g path: lane-oriented program-wide selection
+        sel = _program_select(masks, g, ns)
+        # selection-major (ns, 1) index columns; -1 marks empty slots (the
+        # reference first-hit/zero padding is two cheap wheres in XLA)
+        cols = []
+        for k in range(len(masks)):
+            idx = sel["gstar_col"][k] * float(_LANE) + sel["p_col"][k]
+            cols.append(jnp.where(sel["valid"][k], idx, -1.0))
+        out_ref[0, :, :] = jnp.concatenate(cols, axis=0)  # (SB*D*NS, 1)
+    else:
+        # small-g path: cross-selection block-diagonal stacking fills the
+        # MXU where per-selection (g, 128) operands cannot
+        out_ref[0, :, :] = _select_idx_batched(masks, g, ns)
 
 
 @functools.partial(
@@ -458,12 +544,20 @@ def multi_query_batched_pallas(
     ndepth = len(hmax_list)
     g = -(-n // _LANE)
 
-    # pick sb so the stacked mask block is ~2-4 lane tiles tall
+    # small g: block-diagonal stacking, ~2-4 lane tiles tall; large g:
+    # program-wide selection, bounded by the VMEM mask/count buffers
+    use_program_select = g > 32
     sb = 1
-    for cand in (32, 16, 8, 4, 2):
-        if m % cand == 0 and cand * ndepth * g <= 512:
-            sb = cand
-            break
+    if use_program_select:
+        for cand in (16, 8, 4, 2):
+            if m % cand == 0 and cand * ndepth * g <= 4096:
+                sb = cand
+                break
+    else:
+        for cand in (32, 16, 8, 4, 2):
+            if m % cand == 0 and cand * ndepth * g <= 512:
+                sb = cand
+                break
 
     planes = jnp.transpose(xyz, (0, 2, 1))
     if g * _LANE != n:
@@ -481,6 +575,7 @@ def multi_query_batched_pallas(
         _query_batched_kernel,
         g=g, ns=nsample, ndepth=ndepth, r2=radius * radius,
         hmin=hmin, hmaxs=tuple(hmax_list), rotate=rotate, sb=sb,
+        use_program_select=use_program_select,
     )
     out = pl.pallas_call(
         kernel,
@@ -512,7 +607,7 @@ def cylinder_query_multi_pallas(
     xyz, new_xyz, rot, radius, hmin, hmax_list, nsample
 ) -> jax.Array:
     """(B, M, D, nsample) — drop-in for heads.cylinder_query_multi_depth."""
-    return multi_query_pallas(
+    return multi_query_batched_pallas(
         xyz, new_xyz, rot, radius, hmin, tuple(hmax_list), nsample, rotate=True
     )
 

@@ -193,12 +193,14 @@ def cylinder_query(
     return jax.vmap(per_scene)(xyz, new_xyz, rot)
 
 
+@jax.custom_vjp
 def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather groups of point features by index.
 
     Channels-last analogue of group_points_kernel (group_points_gpu.cu:13-36):
-    out[b, m, s, c] = points[b, idx[b, m, s], c].  take_along_axis supplies
-    the scatter-add backward (group_points_gpu.cu:45-71) automatically.
+    out[b, m, s, c] = points[b, idx[b, m, s], c].  The scatter-add backward
+    (reference atomicAdd, group_points_gpu.cu:45-71) runs as one-hot MXU
+    matmuls (ops/scatter.py) instead of XLA's near-serial TPU scatter.
 
     Args:
       points: (B, N, C).
@@ -210,3 +212,21 @@ def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     b, m, s = idx.shape
     flat = jnp.take_along_axis(points, idx.reshape(b, m * s, 1), axis=1)
     return flat.reshape(b, m, s, points.shape[-1])
+
+
+def _group_points_fwd(points, idx):
+    return group_points(points, idx), (idx, points.shape[1])
+
+
+def _group_points_bwd(res, g):
+    from graspnet_tpu.ops.scatter import _int_zero, scatter_add_rows
+
+    idx, n = res
+    b, m, s = idx.shape
+    d_points = scatter_add_rows(
+        g.reshape(b, m * s, g.shape[-1]), idx.reshape(b, m * s), n
+    )
+    return d_points, _int_zero(idx)
+
+
+group_points.defvjp(_group_points_fwd, _group_points_bwd)

@@ -73,13 +73,14 @@ def _fps_single(xyz: jax.Array, npoint: int) -> jax.Array:
     return idxs
 
 
+@jax.custom_vjp
 def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather rows of a per-point array by index.
 
     Channels-last analogue of reference gather_points_kernel
     (sampling_gpu.cu:13-29): out[b, m, c] = points[b, idx[b, m], c].
-    Differentiable via take_along_axis (the reference's hand-written
-    scatter-add backward, sampling_gpu.cu:38-62, falls out for free).
+    The scatter-add backward (sampling_gpu.cu:38-62) runs as one-hot MXU
+    matmuls (ops/scatter.py) instead of XLA's near-serial TPU scatter.
 
     Args:
       points: (B, N, C).
@@ -89,3 +90,17 @@ def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
       (B, M, C).
     """
     return jnp.take_along_axis(points, idx[..., None], axis=1)
+
+
+def _gather_points_fwd(points, idx):
+    return gather_points(points, idx), (idx, points.shape[1])
+
+
+def _gather_points_bwd(res, g):
+    from graspnet_tpu.ops.scatter import _int_zero, scatter_add_rows
+
+    idx, n = res
+    return scatter_add_rows(g, idx, n), _int_zero(idx)
+
+
+gather_points.defvjp(_gather_points_fwd, _gather_points_bwd)

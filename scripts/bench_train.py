@@ -93,12 +93,39 @@ def main():
     jax.device_get(loss)
     step_ms = (time.perf_counter() - t0) / k * 1000
 
+    # device-only step time via the slope method (chained async dispatches,
+    # one sync) — robust to the tunneled backend's ~26 ms RPC floor and to
+    # shared-host noise, which dominate the end-to-end number above
+    import jax.numpy as jnp
+    from graspnet_tpu.train.label_pipeline import finalize_scene_labels
+
+    device_small, ctxs2, top = trainer.prepare(batch)
+    top_np = np.asarray(jax.device_get(top))
+    matched = [
+        finalize_scene_labels(c, top_np[i], cfg) for i, c in enumerate(ctxs2)
+    ]
+    labels = {k2: np.stack([m[k2] for m in matched]) for k2 in matched[0]}
+    labels["label_u_max"] = np.float32(max(c.scene_umax for c in ctxs2))
+    db = dict(device_small)
+    db.update(trainer.put(labels))
+    mom = jnp.float32(0.5)
+    times = {}
+    for kk in (4, 24):
+        p, o = trainer.params, trainer.opt_state
+        t0 = time.perf_counter()
+        for _ in range(kk):
+            p, o, loss, _ = trainer._train_step(p, o, db, mom)
+        jax.device_get(loss)
+        times[kk] = time.perf_counter() - t0
+    device_step_ms = (times[24] - times[4]) / 20 * 1000
+
     print(
         json.dumps(
             {
                 "metric": "train step (batch 2, 20k pts, compact labels)",
                 "value": round(step_ms, 1),
                 "unit": "ms/step",
+                "device_step_ms": round(device_step_ms, 1),
                 "host_label_prep_ms_per_scene": round(host_prep_ms, 1),
                 "compile_s": round(compile_s, 1),
                 "backend": jax.default_backend(),

@@ -1,6 +1,7 @@
 """Parity tests: JAX geometry ops vs NumPy oracles of the CUDA semantics."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -145,3 +146,90 @@ class TestGatherGroup:
         got = np.asarray(ops.three_interpolate(feats, idx, w))
         want = np.einsum("nkc,nk->nc", feats[0][idx[0]], w[0])
         np.testing.assert_allclose(got[0], want, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# MXU scatter-add backward (ops/scatter.py custom VJPs)
+# ---------------------------------------------------------------------------
+
+
+def _autodiff_gather_grads(points, idx, g):
+    """Oracle: plain take_along_axis autodiff (XLA scatter backward)."""
+    def f(p):
+        b, m, s = idx.shape
+        flat = jnp.take_along_axis(p, idx.reshape(b, m * s, 1), axis=1)
+        return jnp.sum(flat.reshape(b, m, s, p.shape[-1]) * g)
+
+    return jax.grad(f)(points)
+
+
+def test_group_points_backward_matches_autodiff():
+    rng = np.random.default_rng(0)
+    points = jnp.asarray(rng.normal(size=(2, 64, 8)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 64, size=(2, 10, 5)), jnp.int32)
+    g = jnp.asarray(rng.normal(size=(2, 10, 5, 8)), jnp.float32)
+
+    def f(p):
+        return jnp.sum(ops.group_points(p, idx) * g)
+
+    got = jax.grad(f)(points)
+    want = _autodiff_gather_grads(points, idx, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_group_points_backward_chunked():
+    # force the lax.scan chunking path: K large relative to the 8M budget
+    rng = np.random.default_rng(1)
+    n = 4096
+    points = jnp.asarray(rng.normal(size=(1, n, 4)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n, size=(1, 300, 16)), jnp.int32)
+    g = jnp.asarray(rng.normal(size=(1, 300, 16, 4)), jnp.float32)
+
+    def f(p):
+        return jnp.sum(ops.group_points(p, idx) * g)
+
+    got = jax.grad(f)(points)
+    want = _autodiff_gather_grads(points, idx, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_gather_points_backward_matches_autodiff():
+    rng = np.random.default_rng(2)
+    points = jnp.asarray(rng.normal(size=(2, 40, 6)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 40, size=(2, 17)), jnp.int32)
+    g = jnp.asarray(rng.normal(size=(2, 17, 6)), jnp.float32)
+
+    def f(p):
+        return jnp.sum(ops.gather_points(p, idx) * g)
+
+    def oracle(p):
+        return jnp.sum(jnp.take_along_axis(p, idx[..., None], axis=1) * g)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(points)),
+        np.asarray(jax.grad(oracle)(points)),
+        atol=1e-5,
+    )
+
+
+def test_three_interpolate_backward_matches_autodiff():
+    rng = np.random.default_rng(3)
+    feat = jnp.asarray(rng.normal(size=(2, 30, 5)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 30, size=(2, 12, 3)), jnp.int32)
+    w = jnp.asarray(rng.uniform(0, 1, size=(2, 12, 3)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(2, 12, 5)), jnp.float32)
+
+    def oracle(feats, ww):
+        b, n, _ = idx.shape
+        gathered = jnp.take_along_axis(
+            feats, idx.reshape(b, n * 3, 1), axis=1
+        ).reshape(b, n, 3, feats.shape[-1])
+        return jnp.sum(jnp.sum(gathered * ww[..., None], axis=2) * g)
+
+    def f(feats, ww):
+        return jnp.sum(ops.three_interpolate(feats, idx, ww) * g)
+
+    got = jax.grad(f, argnums=(0, 1))(feat, w)
+    want = jax.grad(oracle, argnums=(0, 1))(feat, w)
+    for a, b_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
