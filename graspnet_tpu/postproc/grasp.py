@@ -27,13 +27,44 @@ class Grasp:
         assert array.shape == (GRASP_ARRAY_LEN,)
         self.grasp_array = array
 
-    score = property(lambda self: float(self.grasp_array[0]))
-    width = property(lambda self: float(self.grasp_array[1]))
-    height = property(lambda self: float(self.grasp_array[2]))
-    depth = property(lambda self: float(self.grasp_array[3]))
-    rotation_matrix = property(lambda self: self.grasp_array[4:13].reshape(3, 3))
-    translation = property(lambda self: self.grasp_array[13:16])
-    object_id = property(lambda self: int(self.grasp_array[16]))
+    def _field(i):  # noqa: N805 — descriptor factory, not a method
+        def get(self):
+            return float(self.grasp_array[i])
+
+        def set_(self, v):
+            self.grasp_array[i] = v
+
+        return property(get, set_)
+
+    score = _field(0)
+    width = _field(1)
+    height = _field(2)
+    depth = _field(3)
+    del _field
+
+    @property
+    def rotation_matrix(self) -> np.ndarray:
+        return self.grasp_array[4:13].reshape(3, 3)
+
+    @rotation_matrix.setter
+    def rotation_matrix(self, R):
+        self.grasp_array[4:13] = np.asarray(R, np.float32).reshape(9)
+
+    @property
+    def translation(self) -> np.ndarray:
+        return self.grasp_array[13:16]
+
+    @translation.setter
+    def translation(self, t):
+        self.grasp_array[13:16] = np.asarray(t, np.float32).reshape(3)
+
+    @property
+    def object_id(self) -> int:
+        return int(self.grasp_array[16])
+
+    @object_id.setter
+    def object_id(self, v):
+        self.grasp_array[16] = v
 
     def to_matrix(self) -> np.ndarray:
         """4x4 pose (rotation + translation)."""
@@ -41,6 +72,39 @@ class Grasp:
         T[:3, :3] = self.rotation_matrix
         T[:3, 3] = self.translation
         return T
+
+    def transform(self, T: np.ndarray) -> "Grasp":
+        """Apply a 4x4 rigid transform in place (graspnetAPI semantics:
+        returns self)."""
+        T = np.asarray(T, np.float32)
+        self.translation = T[:3, :3] @ self.translation + T[:3, 3]
+        self.rotation_matrix = T[:3, :3] @ self.rotation_matrix
+        return self
+
+    def mesh(self):
+        """(vertices, triangles, rgb) gripper mesh for this grasp."""
+        from graspnet_tpu.postproc.gripper import gripper_mesh
+
+        return gripper_mesh(
+            center=self.translation,
+            rotation=self.rotation_matrix,
+            width=self.width,
+            depth=self.depth,
+            score=min(max(self.score, 0.0), 1.0),
+            height=max(self.height / 5.0, 0.004),
+        )
+
+    def to_open3d_geometry(self):
+        """graspnetAPI-compatible single-gripper open3d mesh (reference
+        demo.py:378, grasp_segmentation.py:297 call this per grasp)."""
+        import open3d as o3d  # noqa: PLC0415 — optional dependency
+
+        vertices, triangles, color = self.mesh()
+        m = o3d.geometry.TriangleMesh()
+        m.vertices = o3d.utility.Vector3dVector(vertices.astype(np.float64))
+        m.triangles = o3d.utility.Vector3iVector(triangles)
+        m.paint_uniform_color(color.astype(np.float64))
+        return m
 
     def __repr__(self):
         return (
@@ -103,6 +167,20 @@ class GraspGroup:
         rng = rng or np.random.default_rng()
         idx = rng.choice(len(self), min(numGrasp, len(self)), replace=False)
         return GraspGroup(self.grasp_group_array[idx])
+
+    def remove(self, index) -> "GraspGroup":
+        """Drop the grasp(s) at `index` in place (graspnetAPI semantics)."""
+        self.grasp_group_array = np.delete(self.grasp_group_array, index, axis=0)
+        return self
+
+    def transform(self, T: np.ndarray) -> "GraspGroup":
+        """Apply a 4x4 rigid transform to every grasp in place."""
+        T = np.asarray(T, np.float32)
+        arr = self.grasp_group_array
+        arr[:, 13:16] = arr[:, 13:16] @ T[:3, :3].T + T[:3, 3]
+        rots = T[:3, :3][None] @ arr[:, 4:13].reshape(-1, 3, 3)
+        arr[:, 4:13] = rots.reshape(-1, 9)
+        return self
 
     def nms(
         self,

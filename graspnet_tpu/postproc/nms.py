@@ -95,21 +95,25 @@ def nms_keep_mask(
         & valid[:, None]
     )
 
-    order = jnp.argsort(-scores, stable=True)
-
-    # Greedy NMS is the unique solution of the lower-triangular boolean
-    # recurrence (in score order)  keep_i = valid_i AND NOT OR_{j<i}
+    # Greedy NMS is the unique solution of the boolean recurrence (in
+    # descending-score visit order)  keep_i = valid_i AND NOT OR_{j prec i}
     # (close_ij AND keep_j).  A 1024-step sequential loop costs ~7 us per
     # iteration in While overhead on TPU; instead solve by Jacobi sweeps:
     # each sweep is one (Ns, Ns) @ (Ns,) matvec on the MXU, and because the
-    # system is triangular, entries with dependency depth <= t are exact and
-    # frozen after t sweeps — a reached fixpoint IS the greedy solution.
-    # Typical suppression chains are a few deep, so this converges in a
-    # handful of sweeps (hard cap ns).
-    close_s = close[order][:, order]
-    valid_s = valid[order]
-    lower = jnp.tril(jnp.ones((ns, ns), bool), k=-1)
-    a = (close_s & lower).astype(jnp.float32)
+    # precedence relation is a strict total order (score desc, index asc on
+    # ties — exactly the stable argsort's visit order), entries with
+    # dependency depth <= t are exact and frozen after t sweeps — a reached
+    # fixpoint IS the greedy solution.  Typical suppression chains are a few
+    # deep, so this converges in a handful of sweeps (hard cap ns).
+    #
+    # Folding the precedence into the predicate matrix (rather than sorting
+    # the matrix with close[order][:, order]) avoids an argsort plus two
+    # (Ns, Ns) axis gathers — the gathers dominated this function's cost.
+    idx = jnp.arange(ns)
+    prec = (scores[None, :] > scores[:, None]) | (
+        (scores[None, :] == scores[:, None]) & (idx[None, :] < idx[:, None])
+    )
+    a = (close & prec).astype(jnp.float32)
 
     def cond(state):
         keep, prev, it = state
@@ -118,12 +122,12 @@ def nms_keep_mask(
     def body(state):
         keep, _, it = state
         sup = (a @ keep.astype(jnp.float32)) > 0
-        return valid_s & ~sup, keep, it + 1
+        return valid & ~sup, keep, it + 1
 
-    keep_s, _, _ = jax.lax.while_loop(
-        cond, body, (valid_s, jnp.zeros(ns, bool), jnp.int32(0))
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.zeros(ns, bool), jnp.int32(0))
     )
-    return jnp.zeros(ns, bool).at[order].set(keep_s)
+    return keep
 
 
 def nms_top_k(

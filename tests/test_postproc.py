@@ -147,6 +147,56 @@ class TestContainers:
         T = single.to_matrix()
         np.testing.assert_array_equal(T[:3, 3], g[0, 13:16])
 
+    def test_grasp_field_setters(self, rng):
+        g = random_grasps(rng, 3)
+        grasp = Grasp(g[0].copy())
+        grasp.score = 0.5
+        grasp.width = 0.08
+        grasp.object_id = 7
+        grasp.translation = [1.0, 2.0, 3.0]
+        grasp.rotation_matrix = np.eye(3)
+        assert grasp.score == 0.5 and grasp.width == np.float32(0.08)
+        assert grasp.object_id == 7
+        np.testing.assert_array_equal(grasp.translation, [1.0, 2.0, 3.0])
+        np.testing.assert_array_equal(grasp.rotation_matrix, np.eye(3))
+
+    def test_transform_group_matches_per_grasp(self, rng):
+        g = random_grasps(rng, 6)
+        T = np.eye(4, dtype=np.float32)
+        # rigid transform: rotate 90 deg about z + translate
+        T[:3, :3] = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
+        T[:3, 3] = [0.1, -0.2, 0.3]
+        gg = GraspGroup(g.copy()).transform(T)
+        for i in range(6):
+            single = Grasp(g[i].copy()).transform(T)
+            np.testing.assert_allclose(
+                gg[i].grasp_array, single.grasp_array, rtol=1e-6, atol=1e-6
+            )
+        # composing with the reference 4x4 contract: to_matrix() commutes
+        np.testing.assert_allclose(
+            gg[0].to_matrix(), T @ Grasp(g[0]).to_matrix(), atol=1e-6
+        )
+
+    def test_remove_and_iteration(self, rng):
+        g = random_grasps(rng, 5)
+        gg = GraspGroup(g.copy())
+        gg.remove(2)
+        assert len(gg) == 4
+        np.testing.assert_array_equal(
+            gg.grasp_group_array, np.delete(g, 2, axis=0)
+        )
+        # reference apps iterate GraspGroup directly (demo.py:375)
+        seen = [grasp.score for grasp in gg]
+        np.testing.assert_allclose(seen, gg.scores)
+
+    def test_single_grasp_mesh(self, rng):
+        g = random_grasps(rng, 1)
+        vertices, triangles, color = Grasp(g[0]).mesh()
+        assert vertices.ndim == 2 and vertices.shape[1] == 3
+        assert triangles.ndim == 2 and triangles.shape[1] == 3
+        assert triangles.max() < len(vertices)
+        assert color.shape == (3,)
+
     def test_npy_roundtrip(self, rng, tmp_path):
         g = random_grasps(rng, 5)
         gg = GraspGroup(g)
