@@ -81,30 +81,23 @@ class Grasp:
         self.rotation_matrix = T[:3, :3] @ self.rotation_matrix
         return self
 
-    def mesh(self):
-        """(vertices, triangles, rgb) gripper mesh for this grasp."""
-        from graspnet_tpu.postproc.gripper import gripper_mesh
+    def mesh(self, color_score: float | None = None):
+        """(vertices, triangles, rgb) gripper mesh for this grasp.
 
-        return gripper_mesh(
-            center=self.translation,
-            rotation=self.rotation_matrix,
-            width=self.width,
-            depth=self.depth,
-            score=min(max(self.score, 0.0), 1.0),
-            height=max(self.height / 5.0, 0.004),
-        )
+        Color defaults to the raw clamped score; pass the min-max-normalized
+        value when rendering alongside `GraspGroup.meshes()` output (which
+        normalizes by default) so identical grasps get identical colors.
+        """
+        from graspnet_tpu.postproc.gripper import grasp_row_mesh
 
-    def to_open3d_geometry(self):
+        return grasp_row_mesh(self.grasp_array, color_score)
+
+    def to_open3d_geometry(self, color_score: float | None = None):
         """graspnetAPI-compatible single-gripper open3d mesh (reference
         demo.py:378, grasp_segmentation.py:297 call this per grasp)."""
-        import open3d as o3d  # noqa: PLC0415 — optional dependency
+        from graspnet_tpu.postproc.gripper import mesh_to_open3d
 
-        vertices, triangles, color = self.mesh()
-        m = o3d.geometry.TriangleMesh()
-        m.vertices = o3d.utility.Vector3dVector(vertices.astype(np.float64))
-        m.triangles = o3d.utility.Vector3iVector(triangles)
-        m.paint_uniform_color(color.astype(np.float64))
-        return m
+        return mesh_to_open3d(*self.mesh(color_score))
 
     def __repr__(self):
         return (
@@ -128,7 +121,7 @@ class GraspGroup:
         return len(self.grasp_group_array)
 
     def __getitem__(self, index):
-        if isinstance(index, int):
+        if isinstance(index, (int, np.integer)):
             return Grasp(self.grasp_group_array[index])
         return GraspGroup(self.grasp_group_array[index])
 
@@ -196,11 +189,11 @@ class GraspGroup:
         return GraspGroup(self.grasp_group_array[keep])
 
     # ---- visualization ----
-    def meshes(self):
+    def meshes(self, normalize_scores: bool = True):
         """Gripper meshes, one (vertices, triangles, rgb) per grasp."""
         from graspnet_tpu.postproc.gripper import grasp_group_meshes
 
-        return grasp_group_meshes(self)
+        return grasp_group_meshes(self, normalize_scores)
 
     def to_open3d_geometry_list(self):
         """graspnetAPI-compatible open3d mesh list (open3d required)."""

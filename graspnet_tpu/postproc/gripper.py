@@ -96,40 +96,64 @@ def gripper_mesh(
     return vertices.astype(np.float32), triangles, color
 
 
-def grasp_group_meshes(gg) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Meshes for every grasp in a GraspGroup (scores min-max normalized to
-    the [0,1] color ramp like graspnetAPI's visualizer)."""
+def grasp_row_mesh(
+    row: np.ndarray, color_score: float | None = None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Mesh for one 17-float grasp row.
+
+    The render height is the stored grasp height / 5 with a 4 mm floor (the
+    full 0.02 m gripper height occludes the scene).  `color_score` sets the
+    position on the green→red ramp; None uses the row's raw score clamped to
+    [0, 1] — group visualization passes a min-max-normalized value instead.
+    """
+    if color_score is None:
+        color_score = float(np.clip(row[0], 0.0, 1.0))
+    return gripper_mesh(
+        center=row[13:16],
+        rotation=row[4:13].reshape(3, 3),
+        width=row[1],
+        depth=row[3],
+        score=color_score,
+        height=max(float(row[2]) / 5.0, 0.004),
+    )
+
+
+def grasp_group_meshes(
+    gg, normalize_scores: bool = True
+) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Meshes for every grasp in a GraspGroup.
+
+    By default scores are min-max normalized to the [0,1] color ramp (like
+    the reference demos' visualizer); pass normalize_scores=False for raw
+    clamped scores — the convention `Grasp.mesh()` uses — when mixing
+    per-grasp and group rendering of the same grasps.
+    """
     arr = gg.grasp_group_array
     if len(arr) == 0:
         return []
     scores = arr[:, 0]
-    lo, hi = float(scores.min()), float(scores.max())
-    norm = (scores - lo) / (hi - lo) if hi > lo else np.ones_like(scores)
-    return [
-        gripper_mesh(
-            center=row[13:16],
-            rotation=row[4:13].reshape(3, 3),
-            width=row[1],
-            depth=row[3],
-            score=float(norm[i]),
-            height=max(float(row[2]) / 5.0, 0.004),
-        )
-        for i, row in enumerate(arr)
-    ]
+    if normalize_scores:
+        lo, hi = float(scores.min()), float(scores.max())
+        norm = (scores - lo) / (hi - lo) if hi > lo else np.ones_like(scores)
+    else:
+        norm = np.clip(scores, 0.0, 1.0)
+    return [grasp_row_mesh(row, float(norm[i])) for i, row in enumerate(arr)]
+
+
+def mesh_to_open3d(vertices: np.ndarray, triangles: np.ndarray, color: np.ndarray):
+    """Convert one (vertices, triangles, rgb) mesh to an open3d TriangleMesh."""
+    import open3d as o3d  # noqa: PLC0415 — optional dependency
+
+    mesh = o3d.geometry.TriangleMesh()
+    mesh.vertices = o3d.utility.Vector3dVector(vertices.astype(np.float64))
+    mesh.triangles = o3d.utility.Vector3iVector(triangles)
+    mesh.paint_uniform_color(color.astype(np.float64))
+    return mesh
 
 
 def to_open3d_geometry_list(gg):
     """graspnetAPI-compatible open3d TriangleMesh list (requires open3d)."""
-    import open3d as o3d  # noqa: PLC0415 — optional dependency
-
-    geoms = []
-    for vertices, triangles, color in grasp_group_meshes(gg):
-        mesh = o3d.geometry.TriangleMesh()
-        mesh.vertices = o3d.utility.Vector3dVector(vertices.astype(np.float64))
-        mesh.triangles = o3d.utility.Vector3iVector(triangles)
-        mesh.paint_uniform_color(color.astype(np.float64))
-        geoms.append(mesh)
-    return geoms
+    return [mesh_to_open3d(*m) for m in grasp_group_meshes(gg)]
 
 
 def save_meshes_ply(meshes, path: str) -> None:

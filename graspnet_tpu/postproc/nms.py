@@ -79,7 +79,12 @@ def nms_keep_mask(
     import jax.numpy as jnp
 
     ns = grasps.shape[0]
-    scores = jnp.where(valid, grasps[:, 0], -jnp.inf)
+    # NaN scores sort last under numpy's argsort(-scores) (after -inf), so
+    # the visit-order key maps NaN -> -inf and breaks the tie with a nan
+    # flag — without this a NaN row would have no predecessors and could
+    # never be suppressed, diverging from grasp_nms().
+    nan = jnp.isnan(grasps[:, 0]) & valid
+    scores = jnp.where(valid & ~nan, grasps[:, 0], -jnp.inf)
     t = grasps[:, 13:16]
     rf = grasps[:, 4:13]
 
@@ -110,9 +115,11 @@ def nms_keep_mask(
     # the matrix with close[order][:, order]) avoids an argsort plus two
     # (Ns, Ns) axis gathers — the gathers dominated this function's cost.
     idx = jnp.arange(ns)
-    prec = (scores[None, :] > scores[:, None]) | (
-        (scores[None, :] == scores[:, None]) & (idx[None, :] < idx[:, None])
+    ties = (scores[None, :] == scores[:, None]) & (
+        (nan[:, None] & ~nan[None, :])
+        | ((nan[:, None] == nan[None, :]) & (idx[None, :] < idx[:, None]))
     )
+    prec = (scores[None, :] > scores[:, None]) | ties
     a = (close & prec).astype(jnp.float32)
 
     def cond(state):
@@ -146,7 +153,10 @@ def nms_top_k(
     import jax.numpy as jnp
 
     keep = nms_keep_mask(grasps, valid, translation_thresh, rotation_thresh)
-    scores = jnp.where(keep, grasps[:, 0], -jnp.inf)
+    # Rank NaN-scored survivors as -inf so they can never displace real
+    # grasps from the K slots (XLA's top_k total order sorts NaN high);
+    # they come out flagged invalid.
+    scores = jnp.where(keep & ~jnp.isnan(grasps[:, 0]), grasps[:, 0], -jnp.inf)
     top_scores, top_idx = jax.lax.top_k(scores, k)
     rows = jnp.take(grasps, top_idx, axis=0)
     return rows, jnp.isfinite(top_scores)

@@ -197,6 +197,31 @@ class TestContainers:
         assert triangles.max() < len(vertices)
         assert color.shape == (3,)
 
+    def test_numpy_integer_indexing(self, rng):
+        # np.argmax/np.argsort produce np.integer — must yield a Grasp,
+        # like a builtin int (the natural "pick the best grasp" idiom)
+        g = random_grasps(rng, 5)
+        gg = GraspGroup(g)
+        best = gg[np.argmax(gg.scores)]
+        assert isinstance(best, Grasp)
+        assert best.score == gg.scores.max()
+
+    def test_mesh_color_consistency(self, rng):
+        # per-grasp and group rendering agree when normalization is off /
+        # when the normalized value is passed through explicitly
+        g = random_grasps(rng, 3)
+        gg = GraspGroup(g)
+        raw = gg.meshes(normalize_scores=False)
+        for i in range(len(gg)):
+            v, t, c = gg[i].mesh()
+            np.testing.assert_array_equal(c, raw[i][2])
+        norm = gg.meshes()
+        s = gg.scores
+        ns = (s - s.min()) / (s.max() - s.min())
+        for i in range(len(gg)):
+            v, t, c = gg[i].mesh(color_score=float(ns[i]))
+            np.testing.assert_allclose(c, norm[i][2], atol=1e-6)
+
     def test_npy_roundtrip(self, rng, tmp_path):
         g = random_grasps(rng, 5)
         gg = GraspGroup(g)
@@ -250,6 +275,35 @@ def test_device_nms_deep_suppression_chain(rng):
     )
     # neighbor suppression only (2cm < 3cm but 4cm > 3cm) -> keep every other
     assert keep[::2].all() and not keep[1::2].any()
+
+
+def test_device_nms_nan_scores_match_host(rng):
+    """A NaN-scored grasp sorts last (numpy argsort semantics) and must be
+    suppressible by kept neighbors — and must never displace real grasps
+    from the top-K slots."""
+    import jax
+    import jax.numpy as jnp
+    from graspnet_tpu.postproc.nms import grasp_nms, nms_keep_mask, nms_top_k
+
+    arr = np.zeros((4, 17), np.float32)
+    arr[:, 0] = [0.9, np.nan, 0.5, 0.7]
+    arr[:, 4:13] = np.tile(np.eye(3).reshape(9), (4, 1))
+    arr[:3, 13] = 0.0  # rows 0-2 co-located; row 3 far away
+    arr[3, 13] = 1.0
+
+    keep = np.asarray(
+        jax.jit(nms_keep_mask)(jnp.asarray(arr), jnp.ones(4, bool))
+    )
+    host_keep = np.zeros(4, bool)
+    host_keep[grasp_nms(arr)] = True
+    np.testing.assert_array_equal(keep, host_keep)  # [T, F, F, T]
+
+    rows, vmask = jax.jit(lambda g, v: nms_top_k(g, v, k=3))(
+        jnp.asarray(arr), jnp.ones(4, bool)
+    )
+    rows, vmask = np.asarray(rows), np.asarray(vmask)
+    assert vmask[:2].all() and not vmask[2:].any()
+    np.testing.assert_array_equal(rows[:2, 0], arr[[0, 3], 0])
 
 
 def test_blocked_collision_matches_dense(rng):
