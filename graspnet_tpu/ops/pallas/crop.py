@@ -15,7 +15,9 @@ does everything in VMEM:
     so the MLP is three back-to-back MXU matmuls + ReLU;
   * only the pooled (D, 256) feature block is written back per seed.
 
-Returns bitwise-identical features to the unfused crop_forward eval path.
+Selection indices are bit-identical to the unfused path; the MLP features
+match to ULP-level tolerance (BN folding reassociates (x@W - mean) * s into
+x @ (W*s) + b', mathematically equal but not bitwise in float32).
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from graspnet_tpu.ops.pallas.query import (
     _LANE,
     _SENTINEL,
+    _fiota,
     _program_select,
     _select_first_hits_vmem,
 )
@@ -56,11 +59,6 @@ def fold_bn_eval(layers: List[Dict[str, Any]], eps: float):
             bf = layer.get("bias", jnp.zeros((w.shape[1],), w.dtype))
         folded.append((wf, bf[None, :]))
     return folded
-
-
-def _fiota(shape, dim):
-    """float32 iota via int32 (Mosaic rejects float tpu.iota)."""
-    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
 
 
 def _crop_kernel(
@@ -369,10 +367,8 @@ def _sa_feat_kernel(
     out_ref[0, 0, 0:1, :] = jnp.max(h, axis=0, keepdims=True)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("radius", "nsample", "eps_")
-)
-def _sa_feat_fused(xyz, new_xyz, features, fw, radius, nsample, eps_):
+@functools.partial(jax.jit, static_argnames=("radius", "nsample"))
+def _sa_feat_fused(xyz, new_xyz, features, fw, radius, nsample):
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
     g = -(-n // _LANE)
@@ -442,7 +438,7 @@ def sa_feat_fused_pallas(
     """
     folded = fold_bn_eval(mlp_layers, eps)
     fw = tuple(x for pair in folded for x in pair)
-    return _sa_feat_fused(xyz, new_xyz, features, fw, radius, nsample, eps)
+    return _sa_feat_fused(xyz, new_xyz, features, fw, radius, nsample)
 
 
 def sa1_fused_pallas(

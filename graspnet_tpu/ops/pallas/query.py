@@ -41,27 +41,12 @@ def _fiota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
 
 
-def _select_hits_core(
-    mask: jax.Array,
-    g: int,
-    ns: int,
-    extras: Tuple[jax.Array, ...] = (),
-    need_idx: bool = True,
-):
-    """First-ns-hits selection on a (G, 128) VMEM-resident mask, optionally
-    gathering the hit values of extra (G, 128) planes in the same pass.
+def _select_hits_core(mask: jax.Array, g: int, ns: int):
+    """First-ns-hits selection on a (G, 128) VMEM-resident mask.
 
-    The per-slot tile row of [running-count | extras...] is fetched with ONE
-    one-hot matmul over the lane-concatenated planes — gathering E extra
-    planes costs no additional matmul dispatches (the crop kernel previously
-    issued 1 + E separate (NS, G) x (G, 128) products per selection).
-
-    Returns dict with:
-      idx_col (NS,1) f32 final indices with first-hit/zero padding (only when
-        need_idx), onehot (G, NS), p_col (NS,1) in-tile lane positions,
-      valid_col (NS,1) bool, total (1,1) f32,
-      picked: tuple of (NS,1) raw extra-plane values at each slot (no
-        first-hit padding applied — callers pad).
+    Returns dict with: idx_col (NS,1) f32 final indices with first-hit/zero
+    padding, onehot (G, NS), p_col (NS,1) in-tile lane positions,
+    valid_col (NS,1) bool, total (1,1) f32.
     """
     lane_i = _fiota((_LANE, _LANE), 0)
     lane_j = _fiota((_LANE, _LANE), 1)
@@ -96,48 +81,32 @@ def _select_hits_core(
     gstar_row = jnp.minimum(gstar_row, float(g - 1))
     onehot = (giota_gs == gstar_row).astype(jnp.float32)  # (G, NS)
 
-    stacked = (
-        jnp.concatenate((r_global,) + tuple(extras), axis=1)
-        if extras
-        else r_global
-    )  # (G, 128*(1+E))
-    rows = jax.lax.dot_general(
-        onehot, stacked,
+    rseg = jax.lax.dot_general(
+        onehot, r_global,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (NS, 128*(1+E))
-    rseg = rows[:, 0:_LANE]
+    )  # (NS, 128)
     p_col = jnp.sum((rseg < thresh).astype(jnp.float32), axis=1, keepdims=True)
     p_col = jnp.minimum(p_col, float(_LANE - 1))
 
-    lhot = (_fiota((ns, _LANE), 1) == p_col).astype(jnp.float32)
-    picked = tuple(
-        jnp.sum(rows[:, (i + 1) * _LANE : (i + 2) * _LANE] * lhot, axis=1,
-                keepdims=True)
-        for i in range(len(extras))
-    )
-
     valid_col = slots_col <= total
-    out = {
+    giota_col = _fiota((g, 1), 0)
+    gstar_col = jax.lax.dot_general(
+        onehot, giota_col,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    idx_col = gstar_col * float(_LANE) + p_col
+    first = idx_col[0:1, 0:1]
+    idx_col = jnp.where(valid_col, idx_col, first)
+    idx_col = jnp.where(total > 0.0, idx_col, 0.0)
+    return {
         "onehot": onehot,
         "p_col": p_col,
         "valid_col": valid_col,
         "total": total,
-        "picked": picked,
+        "idx_col": idx_col,
     }
-    if need_idx:
-        giota_col = _fiota((g, 1), 0)
-        gstar_col = jax.lax.dot_general(
-            onehot, giota_col,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        idx_col = gstar_col * float(_LANE) + p_col
-        first = idx_col[0:1, 0:1]
-        idx_col = jnp.where(valid_col, idx_col, first)
-        idx_col = jnp.where(total > 0.0, idx_col, 0.0)
-        out["idx_col"] = idx_col
-    return out
 
 
 def _program_select(masks, g: int, ns: int):
@@ -219,7 +188,7 @@ def _select_first_hits_vmem(mask: jax.Array, g: int, ns: int):
     onehot (G, NS) tile-selector for row gathers, p_col (NS,1) in-tile lane
     positions, valid_col (NS,1) bool slot-has-real-hit, total (1,1) f32).
     """
-    r = _select_hits_core(mask, g, ns, extras=(), need_idx=True)
+    r = _select_hits_core(mask, g, ns)
     return r["idx_col"], r["onehot"], r["p_col"], r["valid_col"], r["total"]
 
 
@@ -400,6 +369,11 @@ def multi_query_pallas(
 ) -> jax.Array:
     """Fused multi-depth cylinder query (rotate=True) or ball query
     (rotate=False, single depth).
+
+    NOTE: this is the simple per-(scene, seed) grid variant, kept as the
+    cross-validation oracle for multi_query_batched_pallas (which all
+    production callers use — ops.ball_query, heads.cylinder_query_multi_
+    depth); tests pin the two bit-equal so the semantics cannot drift.
 
     Args:
       xyz: (B, N, 3) points.

@@ -48,6 +48,19 @@ class TrainConfig:
     label_dtype: str = "float32"
 
 
+def weight_decay_mask(params):
+    """Torch-optimizer decay semantics: weight decay applies to parameters
+    (conv kernels/biases, BN scale/offset) but never to the BN running
+    mean/var buffers, which live inside the same pytree here but are not
+    nn.Parameters in the reference (train.py:85 Adam over net.parameters())."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: not any(
+            getattr(k, "key", None) in ("mean", "var") for k in path
+        ),
+        params,
+    )
+
+
 def lr_at_epoch(tc: TrainConfig, epoch: int) -> float:
     """Step-decay schedule (reference train.py:102-112)."""
     lr = tc.learning_rate
@@ -113,8 +126,12 @@ class Trainer:
         self.params = params if params is not None else init_graspnet(
             jax.random.PRNGKey(seed), cfg
         )
-        self.tx = optax.inject_hyperparams(optax.adamw)(
-            learning_rate=tc.learning_rate, weight_decay=tc.weight_decay
+        # mask must be static: inject_hyperparams would otherwise treat the
+        # callable as an injectable hyperparam and silently drop it
+        self.tx = optax.inject_hyperparams(optax.adamw, static_args=("mask",))(
+            learning_rate=tc.learning_rate,
+            weight_decay=tc.weight_decay,
+            mask=weight_decay_mask,
         )
         self.opt_state = self.tx.init(self.params)
         self.params = replicate(self.mesh, self.params)

@@ -150,6 +150,35 @@ class TestTrainer:
         loss, metrics = trainer.step(batch)
         assert np.isfinite(float(loss))
 
+    def test_weight_decay_never_touches_bn_running_stats(self, rng):
+        # torch Adam(weight_decay) decays parameters, never running_mean/var
+        # (they are buffers, not nn.Parameters) — the adamw mask must match
+        from graspnet_tpu.train.trainer import weight_decay_mask
+
+        cfg = GraspNetConfig.tiny()
+        t0 = Trainer(cfg=cfg, tc=TrainConfig(weight_decay=0.0), seed=0)
+        t1 = Trainer(cfg=cfg, tc=TrainConfig(weight_decay=0.5), seed=0)
+        mask = weight_decay_mask(t0.params)
+        assert mask["backbone"]["sa1"]["mlp"][0]["bn"]["mean"] is False
+        assert mask["backbone"]["sa1"]["mlp"][0]["bn"]["var"] is False
+        assert mask["backbone"]["sa1"]["mlp"][0]["bn"]["scale"] is True
+        assert mask["backbone"]["sa1"]["mlp"][0]["kernel"] is True
+
+        batch = make_batch(rng, cfg, b=2)
+        for t in (t0, t1):
+            t.set_epoch(0)
+            t.step(batch)
+        bn0 = t0.params["backbone"]["sa1"]["mlp"][0]["bn"]
+        bn1 = t1.params["backbone"]["sa1"]["mlp"][0]["bn"]
+        # running stats follow the same momentum blend regardless of decay
+        np.testing.assert_array_equal(np.asarray(bn0["mean"]), np.asarray(bn1["mean"]))
+        np.testing.assert_array_equal(np.asarray(bn0["var"]), np.asarray(bn1["var"]))
+        # while actual parameters DO see the decay
+        assert not np.allclose(
+            np.asarray(t0.params["backbone"]["sa1"]["mlp"][0]["kernel"]),
+            np.asarray(t1.params["backbone"]["sa1"]["mlp"][0]["kernel"]),
+        )
+
     def test_bn_stats_updated(self, rng):
         cfg = GraspNetConfig.tiny()
         trainer = Trainer(cfg=cfg, tc=TrainConfig(), seed=0)
