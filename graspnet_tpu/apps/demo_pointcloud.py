@@ -57,7 +57,9 @@ def main():
 
     cfg = GraspNetConfig(num_point=args.num_point)
     pipe = GraspPipeline(cfg=cfg, checkpoint_path=args.checkpoint_path)
-    print(f"compile: {pipe.warmup():.1f}s")
+    print(
+        f"compile: {pipe.warmup(collision_thresh=args.collision_thresh, top_k=args.top_k):.1f}s"
+    )
     sampled = pipe.sample_cloud(cloud)
     gg = pipe.run(
         sampled,

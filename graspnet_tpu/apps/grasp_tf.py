@@ -28,7 +28,7 @@ def compute_best_grasp(args) -> np.ndarray | None:
     """Run the full pipeline once; returns a 4x4 pose or None."""
     cfg = GraspNetConfig(num_point=args.num_point)
     pipe = GraspPipeline(cfg=cfg, checkpoint_path=args.checkpoint_path)
-    pipe.warmup()
+    pipe.warmup(collision_thresh=args.collision_thresh, top_k=1)
     scene_cloud = load_frame(args.data_dir)
     sampled = pipe.sample_cloud(scene_cloud)
     gg = pipe.run(

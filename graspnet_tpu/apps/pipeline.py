@@ -74,17 +74,34 @@ class GraspPipeline:
         self._infer_topk = _infer_topk
         self.timings = PipelineTimings()
 
-    def warmup(self, topk: bool = True) -> float:
+    def warmup(
+        self,
+        topk: Optional[bool] = None,
+        collision_thresh: float = -1.0,
+        nms: bool = True,
+        top_k: int = 50,
+        batch_size: int = 1,
+    ) -> float:
         """Compile the serving program; returns compile wall time.
 
-        topk=True compiles the fused network+decode+NMS+top-50 program (the
-        run() default); topk=False the raw decode program used when a
-        collision filter sits between decode and NMS.
+        Pass the SAME knobs the later run()/get_grasps* calls will use so the
+        program compiled here is the one that actually serves: with
+        collision_thresh <= 0, nms and top_k, run() takes the fused
+        network+decode+NMS+top-K program (static in top_k); otherwise the raw
+        decode program (static in batch shape).  `topk` forces the choice
+        explicitly.
         """
-        dummy = jnp.zeros((1, self.cfg.num_point, 3), jnp.float32)
+        fused = (
+            topk
+            if topk is not None
+            else (collision_thresh <= 0 and nms and bool(top_k))
+        )
+        dummy = jnp.zeros((batch_size, self.cfg.num_point, 3), jnp.float32)
         t0 = time.perf_counter()
-        if topk:
-            jax.block_until_ready(self._infer_topk(self.params, dummy))
+        if fused:
+            jax.block_until_ready(
+                self._infer_topk(self.params, dummy, top_k=top_k or 50)
+            )
         else:
             jax.block_until_ready(self._infer(self.params, dummy))
         return time.perf_counter() - t0

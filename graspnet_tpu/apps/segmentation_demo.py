@@ -77,7 +77,9 @@ def main():
 
     cfg = GraspNetConfig(num_point=args.num_point)
     pipe = GraspPipeline(cfg=cfg, checkpoint_path=args.checkpoint_path)
-    print(f"compile: {pipe.warmup():.1f}s")
+    print(
+        f"compile: {pipe.warmup(collision_thresh=args.collision_thresh, top_k=0):.1f}s"
+    )
 
     sampled = pipe.sample_cloud(scene_cloud)
     gg = pipe.run(

@@ -48,7 +48,9 @@ class GraspService:
         self.cfg = cfg
         model_cfg = cfg.model_cfg or GraspNetConfig(num_point=cfg.num_point)
         self.pipe = GraspPipeline(cfg=model_cfg, checkpoint_path=cfg.checkpoint_path)
-        self.pipe.warmup()
+        # compile the program compute() actually runs (top_k=0 there: the
+        # service filters before truncating, so run() takes the raw path)
+        self.pipe.warmup(collision_thresh=cfg.collision_thresh, top_k=0)
 
     # -- filters (reference grasp_service.py:113-150, 263-269) -------------
     @staticmethod
@@ -124,18 +126,29 @@ class GraspService:
 # ----------------------------------------------------------- TCP wrapper ----
 
 
-def serve_tcp(service: GraspService, host: str = "127.0.0.1", port: int = 9876):
+def serve_tcp(
+    service: GraspService,
+    host: str = "127.0.0.1",
+    port: int = 9876,
+    request_timeout_s: float = 60.0,
+):
     """JSON-over-TCP trigger server: one request per connection.
 
     Request: {"cloud": [[x,y,z],...], "mask_points": [...]? ,
-              "world_from_camera": 4x4? }
-    Response: GraspService.compute() dict.
+              "world_from_camera": 4x4? } — one JSON document, terminated by
+    newline OR by half-closing the socket (shutdown(SHUT_WR)).  json.dumps
+    output never contains a raw newline, so readline-framing accepts both
+    client styles; a read() -until-EOF server would deadlock forever against
+    clients that keep the socket open while waiting for the reply.
+    Response: GraspService.compute() dict as one JSON line.
     """
 
     class Handler(socketserver.StreamRequestHandler):
+        timeout = request_timeout_s  # socketserver closes the request on it
+
         def handle(self):
-            data = self.rfile.read()
             try:
+                data = self.rfile.readline()
                 req = json.loads(data.decode())
                 cloud = np.asarray(req["cloud"], dtype=np.float32)
                 mask = (
@@ -151,7 +164,7 @@ def serve_tcp(service: GraspService, host: str = "127.0.0.1", port: int = 9876):
                 out = service.compute(cloud, mask, wfc)
             except Exception as e:  # noqa: BLE001 — service must not die
                 out = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-            self.wfile.write(json.dumps(out).encode())
+            self.wfile.write(json.dumps(out).encode() + b"\n")
 
     srv = socketserver.ThreadingTCPServer((host, port), Handler)
     srv.daemon_threads = True

@@ -57,7 +57,10 @@ def inference(args, cfg) -> None:
         num_points=cfg.num_point, remove_outlier=True, load_label=False, cfg=cfg,
     )
     pipe = GraspPipeline(cfg=cfg, checkpoint_path=args.checkpoint_path)
-    print(f"compile: {pipe.warmup():.1f}s; frames: {len(dataset)}")
+    # the loop below runs get_grasps_batch (raw decode program) at batch
+    # shape — compile exactly that, not the fused single-frame program
+    compile_s = pipe.warmup(topk=False, batch_size=max(args.batch_size, 1))
+    print(f"compile: {compile_s:.1f}s; frames: {len(dataset)}")
 
     import concurrent.futures as cf
 

@@ -73,8 +73,16 @@ def main():
     from graspnet_tpu.parallel.distributed import initialize as dist_init
 
     multihost = dist_init()
-    os.makedirs(args.log_dir, exist_ok=True)
-    logger = MetricLogger(args.log_dir)
+    log_dir = args.log_dir
+    if multihost:
+        import jax
+
+        if jax.process_index() != 0:
+            # metrics are fully replicated; only process 0 writes the main
+            # logs — secondaries get their own subdir for debug output
+            log_dir = os.path.join(args.log_dir, f"proc{jax.process_index()}")
+    os.makedirs(log_dir, exist_ok=True)
+    logger = MetricLogger(log_dir)
     if multihost:
         import jax
 
@@ -113,34 +121,62 @@ def main():
     )
     logger.log(f"train len: {len(train_ds)}, test len: {len(test_ds)}")
 
-    ndev = args.n_devices
-    if ndev is None:
-        # largest device count that divides the global batch — a batch of 2
-        # on an 8-device slice data-parallelizes over 2 devices, not 8
+    nproc, proc_id = 1, 0
+    if multihost:
         import jax
+        from graspnet_tpu.parallel.distributed import global_mesh
 
-        avail = len(jax.devices())
-        ndev = max(
-            d
-            for d in range(1, min(avail, tc.batch_size) + 1)
-            if tc.batch_size % d == 0
+        nproc, proc_id = jax.process_count(), jax.process_index()
+        assert tc.batch_size % nproc == 0, (
+            f"global batch {tc.batch_size} must divide process count {nproc}"
         )
-    mesh = make_mesh(ndev)
-    logger.log(f"data-parallel mesh: {ndev} device(s)")
+        mesh = global_mesh()
+        logger.log(
+            f"data-parallel mesh: {len(jax.devices())} global device(s) over "
+            f"{nproc} host(s); {tc.batch_size // nproc} scenes/host/step"
+        )
+    else:
+        ndev = args.n_devices
+        if ndev is None:
+            # largest device count that divides the global batch — a batch
+            # of 2 on an 8-device slice data-parallelizes over 2 devices
+            import jax
+
+            avail = len(jax.devices())
+            ndev = max(
+                d
+                for d in range(1, min(avail, tc.batch_size) + 1)
+                if tc.batch_size % d == 0
+            )
+        mesh = make_mesh(ndev)
+        logger.log(f"data-parallel mesh: {ndev} device(s)")
     trainer = Trainer(cfg=cfg, tc=tc, mesh=mesh)
     start_epoch = 0
     if args.checkpoint_path and os.path.exists(args.checkpoint_path):
-        state = checkpoint.restore(args.checkpoint_path)
-        trainer.params = state["params"]
-        trainer.opt_state = state["opt_state"]
+        # restore WITH the live state as template: orbax otherwise returns
+        # plain dicts/lists, losing the optax namedtuple opt_state structure
+        from graspnet_tpu.parallel.mesh import replicate
+
+        template = {
+            "params": trainer.params,
+            "opt_state": trainer.opt_state,
+            "epoch": np.int32(0),
+        }
+        state = checkpoint.restore(args.checkpoint_path, template=template)
+        trainer.params = replicate(mesh, state["params"])
+        trainer.opt_state = replicate(mesh, state["opt_state"])
         start_epoch = int(state["epoch"]) + 1
         logger.log(f"resumed from {args.checkpoint_path} at epoch {start_epoch}")
 
+    # each host loads its slice of the global batch; identical shuffle seeds
+    # + shard partition keep per-step global batches disjoint across hosts
     train_loader = DataLoader(
-        train_ds, tc.batch_size, shuffle=True, num_workers=args.num_workers
+        train_ds, tc.batch_size // nproc, shuffle=True,
+        num_workers=args.num_workers, num_shards=nproc, shard_index=proc_id,
     )
     test_loader = DataLoader(
-        test_ds, tc.batch_size, shuffle=False, num_workers=args.num_workers
+        test_ds, tc.batch_size // nproc, shuffle=False,
+        num_workers=args.num_workers, num_shards=nproc, shard_index=proc_id,
     )
 
     for epoch in range(start_epoch, tc.max_epoch):
@@ -177,6 +213,10 @@ def main():
             step += 1
             if step % args.log_every == 0:
                 logger.flush("train", epoch * len(train_loader) + step)
+        # flush any train metrics accumulated since the last log_every
+        # boundary — they must not bleed into the eval window below
+        if step % args.log_every != 0:
+            logger.flush("train", epoch * len(train_loader) + step)
         logger.log(f"epoch train time: {time.time()-t0:.1f}s")
 
         for batch in test_loader:
@@ -184,15 +224,26 @@ def main():
             logger.accumulate(metrics)
         logger.flush("eval", (epoch + 1) * len(train_loader))
 
-        checkpoint.save(
-            os.path.join(os.path.abspath(args.log_dir), "checkpoint"),
-            {
+        if proc_id == 0:
+            # params/opt_state are fully replicated, so process 0 holds the
+            # complete state; save host numpy copies (no multihost
+            # coordination needed in the checkpointer)
+            state = {
                 "params": trainer.params,
                 "opt_state": trainer.opt_state,
                 "epoch": np.int32(epoch),
-            },
-        )
-        logger.log(f"saved checkpoint at epoch {epoch}")
+            }
+            if multihost:
+                import jax
+
+                state = jax.tree_util.tree_map(
+                    lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+                    state,
+                )
+            checkpoint.save(
+                os.path.join(os.path.abspath(args.log_dir), "checkpoint"), state
+            )
+            logger.log(f"saved checkpoint at epoch {epoch}")
 
 
 if __name__ == "__main__":

@@ -56,7 +56,15 @@ def load_grasp_labels(root: str, num_objects: int = 88) -> Tuple[List[int], Dict
             continue
         label = np.load(os.path.join(root, "grasp_label", f"{i:03d}_labels.npz"))
         tol_path = os.path.join(root, "tolerance", f"{i:03d}_tolerance.npy")
-        tolerance = np.load(tol_path) if os.path.exists(tol_path) else None
+        if not os.path.exists(tol_path):
+            # fail fast with the remedy — a None here would surface much
+            # later as a TypeError deep inside get_data_label
+            raise FileNotFoundError(
+                f"missing tolerance labels for object {i:03d}: {tol_path}. "
+                "Generate them first: python -m graspnet_tpu.apps."
+                f"generate_tolerance --dataset_root {root}"
+            )
+        tolerance = np.load(tol_path)
         valid.append(i + 1)
         labels[i + 1] = (
             label["points"].astype(np.float32),
@@ -316,19 +324,30 @@ def collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
 
 
 class DataLoader:
-    """Thread-pooled prefetching loader (reference DataLoader num_workers=4)."""
+    """Thread-pooled prefetching loader (reference DataLoader num_workers=4).
 
-    def __init__(self, dataset, batch_size: int, shuffle: bool = True, num_workers: int = 4, seed: int = 0, drop_last: bool = True):
+    num_shards/shard_index partition the (identically-seeded, identically-
+    shuffled) frame order across processes for multi-host data parallelism:
+    every host sees a disjoint slice of each epoch's permutation, so a
+    global batch = the concatenation of per-host local batches covers
+    distinct frames.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True, num_workers: int = 4, seed: int = 0, drop_last: bool = True, num_shards: int = 1, shard_index: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = num_workers
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        assert 0 <= shard_index < num_shards, (shard_index, num_shards)
+        self.num_shards = num_shards
+        self.shard_index = shard_index
 
     def __len__(self):
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        n_local = len(self.dataset) // self.num_shards if self.num_shards > 1 else len(self.dataset)
+        n = n_local // self.batch_size
+        if not self.drop_last and n_local % self.batch_size:
             n += 1
         return n
 
@@ -336,6 +355,9 @@ class DataLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
+        if self.num_shards > 1:
+            usable = (len(order) // self.num_shards) * self.num_shards
+            order = order[:usable][self.shard_index :: self.num_shards]
         batches = [
             order[i : i + self.batch_size]
             for i in range(0, len(order), self.batch_size)

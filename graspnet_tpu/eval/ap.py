@@ -163,6 +163,11 @@ def eval_frame(
     return ap_mu
 
 
+def _eval_worker_init():
+    """Pin spawned eval workers to the CPU backend (set before jax import)."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+
 class GraspNetEval:
     """Evaluate a dump directory over a split (graspnetAPI surface)."""
 
@@ -205,8 +210,25 @@ class GraspNetEval:
             for s in self.scene_ids
             if os.path.isdir(os.path.join(dump_dir, s, self.camera))
         ]
-        with cf.ProcessPoolExecutor(proc) as pool:
-            results = list(pool.map(self.eval_scene, scenes, [dump_dir] * len(scenes)))
+        if proc <= 1 or len(scenes) <= 1:
+            results = [self.eval_scene(s, dump_dir) for s in scenes]
+        else:
+            # spawn (never fork): the caller typically just ran inference, so
+            # the parent holds an initialized TPU backend — forked children
+            # would inherit a fork-unsafe XLA runtime and fight over the
+            # exclusive libtpu lock.  Fresh spawned workers pin themselves to
+            # the CPU backend before importing jax.
+            import multiprocessing as mp
+
+            ctx = mp.get_context("spawn")
+            with cf.ProcessPoolExecutor(
+                min(proc, len(scenes)),
+                mp_context=ctx,
+                initializer=_eval_worker_init,
+            ) as pool:
+                results = list(
+                    pool.map(self.eval_scene, scenes, [dump_dir] * len(scenes))
+                )
         res = np.stack(results) if results else np.zeros((0, 0, len(FRICTIONS)))
         ap = float(res.mean()) if res.size else 0.0
         return res, ap

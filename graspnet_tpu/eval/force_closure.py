@@ -22,13 +22,32 @@ import numpy as np
 FRICTIONS = np.array([0.2, 0.4, 0.6, 0.8, 1.0, 1.2], dtype=np.float32)
 
 
-def estimate_normals(points: np.ndarray, k: int = 16) -> np.ndarray:
-    """Unoriented per-point normals via k-NN PCA (smallest eigenvector)."""
-    n = len(points)
+def estimate_normals(points: np.ndarray, k: int = 16, chunk: int = 1024) -> np.ndarray:
+    """Unoriented per-point normals via k-NN PCA (smallest eigenvector).
+
+    Neighbor search runs in float32 chunks with argpartition — O(chunk * n)
+    memory instead of a dense (n, n) float64 matrix + full argsort, which at
+    typical model-cloud sizes (10-20k points) costs GBs per eval worker.
+    """
+    pts = points.astype(np.float32, copy=False)
+    n = len(pts)
     k = min(k, n)
-    d2 = np.sum((points[:, None, :] - points[None, :, :]) ** 2, axis=-1)
-    nbr = np.argsort(d2, axis=1)[:, :k]  # (n, k)
-    nbrs = points[nbr]  # (n, k, 3)
+    nbr = np.empty((n, k), dtype=np.int64)
+    sq = np.sum(pts * pts, axis=1)
+    for s in range(0, n, chunk):
+        blk = pts[s : s + chunk]  # (c, 3)
+        d2 = sq[s : s + chunk, None] + sq[None, :] - 2.0 * (blk @ pts.T)
+        if k < n:
+            part = np.argpartition(d2, k - 1, axis=1)[:, :k]
+            # exact ascending order within the k nearest (stable result
+            # regardless of argpartition's arbitrary internal order)
+            sub = np.take_along_axis(d2, part, axis=1)
+            nbr[s : s + chunk] = np.take_along_axis(
+                part, np.argsort(sub, axis=1, kind="stable"), axis=1
+            )
+        else:
+            nbr[s : s + chunk] = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    nbrs = pts[nbr]  # (n, k, 3)
     centered = nbrs - nbrs.mean(axis=1, keepdims=True)
     cov = np.einsum("nki,nkj->nij", centered, centered) / k
     _, vecs = np.linalg.eigh(cov)  # ascending eigenvalues

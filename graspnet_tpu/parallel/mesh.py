@@ -43,11 +43,23 @@ def make_mesh(
 
 
 def shard_batch(mesh: Mesh, tree: Any, axis: str = "data") -> Any:
-    """Place a host batch pytree with the leading axis sharded over `axis`."""
+    """Place a host batch pytree with the leading axis sharded over `axis`.
+
+    Single-process: plain device_put onto the NamedSharding.  Multi-process
+    (jax.distributed initialized): each host passes its PROCESS-LOCAL rows
+    and the global array is assembled with make_array_from_process_local_data
+    — device_put onto non-addressable devices would raise.  Scalars (e.g. the
+    batch-global label u_max) replicate and must therefore be equal on every
+    process.
+    """
+    multiprocess = jax.process_count() > 1
+
     def put(x):
-        # scalars (e.g. the batch-global label u_max) replicate
         spec = P() if np.ndim(x) == 0 else P(axis, *([None] * (np.ndim(x) - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, tree)
 

@@ -268,7 +268,15 @@ class Trainer:
         from graspnet_tpu.train.label_pipeline import finalize_scene_labels
 
         device_small, ctxs, top = handle
-        top_np = np.asarray(jax.device_get(top))
+        if jax.process_count() > 1:
+            # only this host's rows are addressable; ctxs holds exactly those
+            # scenes (loader feeds process-local rows in shard order)
+            shards = sorted(
+                top.addressable_shards, key=lambda s: s.index[0].start or 0
+            )
+            top_np = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        else:
+            top_np = np.asarray(jax.device_get(top))
         matched = [
             finalize_scene_labels(c, top_np[i], self.cfg)
             for i, c in enumerate(ctxs)
@@ -276,7 +284,14 @@ class Trainer:
         labels = {
             k: np.stack([m[k] for m in matched]) for k in matched[0]
         }
-        labels["label_u_max"] = np.float32(max(c.scene_umax for c in ctxs))
+        u_max = np.float32(max(c.scene_umax for c in ctxs))
+        if jax.process_count() > 1:
+            # the replicated scalar must be the GLOBAL batch max, identical
+            # on every process (log-rescale bit-parity across hosts)
+            from jax.experimental import multihost_utils
+
+            u_max = np.float32(np.max(multihost_utils.process_allgather(u_max)))
+        labels["label_u_max"] = u_max
         device_batch = dict(device_small)
         device_batch.update(shard_batch(self.mesh, labels))
         momentum = bn_momentum_at_epoch(self.tc, self.epoch)

@@ -100,6 +100,22 @@ class TestService:
         assert out["ok"]
         srv.shutdown()
 
+    def test_tcp_newline_framed_no_halfclose(self, tiny_service, rng):
+        # a client that keeps the socket open while waiting for the reply
+        # (no SHUT_WR) must not deadlock: newline terminates the request
+        srv = serve_tcp(tiny_service, port=0)
+        port = srv.server_address[1]
+        cloud = scene_cloud(rng, n=1500)
+        req = json.dumps({"cloud": cloud.tolist()}).encode() + b"\n"
+        with socket.create_connection(("127.0.0.1", port)) as s:
+            s.settimeout(120.0)
+            s.sendall(req)
+            f = s.makefile("rb")
+            line = f.readline()
+        out = json.loads(line.decode())
+        assert out["ok"]
+        srv.shutdown()
+
 
 class TestTransforms:
     def test_quaternion_roundtrip(self, rng):

@@ -56,6 +56,29 @@ def test_train_cli_end_to_end(dataset_root, tmp_path):
     assert np.isfinite(train_recs[-1]["loss/overall_loss"])
 
 
+def test_train_cli_resume_from_checkpoint(dataset_root, tmp_path):
+    """Epoch 0 trains + saves; the second invocation must restore the orbax
+    state (incl. the optax namedtuple opt_state) and continue at epoch 1."""
+    from graspnet_tpu.apps.train import main
+
+    log_dir = str(tmp_path / "log_resume")
+    base_argv = [
+        "train", "--dataset_root", dataset_root, "--camera", "realsense",
+        "--log_dir", log_dir, "--tiny", "--batch_size", "2",
+        "--num_workers", "1", "--log_every", "1", "--num_objects", "3",
+    ]
+    _run_main(main, base_argv + ["--max_epoch", "1"])
+    ckpt = os.path.join(log_dir, "checkpoint")
+    assert os.path.isdir(ckpt)
+    _run_main(
+        main, base_argv + ["--max_epoch", "2", "--checkpoint_path", ckpt]
+    )
+    log_text = open(os.path.join(log_dir, "log_train.txt")).read()
+    assert "resumed from" in log_text and "EPOCH 001" in log_text
+    # the resumed run must not re-run epoch 0
+    assert log_text.count("EPOCH 000") == 1
+
+
 def test_test_cli_dump_and_eval(dataset_root, tmp_path):
     from graspnet_tpu.apps.test import main
 
