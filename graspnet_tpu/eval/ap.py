@@ -110,14 +110,21 @@ def eval_frame(
     poses: List[np.ndarray],
     collision_thresh: float = 0.25,
     voxel_size: float = 0.008,
+    apply_nms: bool = True,
 ) -> np.ndarray:
     """AP_mu vector (len(FRICTIONS),) for one frame.
 
     grasps: (M, 17) dumped array (camera frame). poses: per-object (3, 4)
-    model->camera transforms.
+    model->camera transforms.  Grasp NMS (0.03 m / 30°) runs before the
+    top-50 cut, per the GraspNet-1Billion protocol ("top 50 grasps after
+    non-maximum suppression"); pass apply_nms=False to score raw dumps.
     """
     if len(grasps) == 0:
         return np.zeros(len(FRICTIONS), dtype=np.float32)
+    if apply_nms:
+        from graspnet_tpu.postproc.nms import grasp_nms
+
+        grasps = grasps[grasp_nms(grasps)]  # returns desc-score order
     order = np.argsort(-grasps[:, 0], kind="stable")[:TOP_K]
     g = grasps[order]
 

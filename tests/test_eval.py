@@ -110,16 +110,42 @@ class TestEvalFrame:
         pts = make_sphere(rng=rng)
         normals = estimate_normals(pts, k=12)
         pose = np.concatenate([np.eye(3, dtype=np.float32), np.array([[0.0], [0.0], [0.4]], np.float32)], 1)
-        # grasps around the posed sphere, centered (antipodal -> positive)
+        # 10 antipodal grasps approaching the posed sphere from directions
+        # 36° apart — outside the protocol NMS's 30° rotation threshold, so
+        # all 10 survive the pre-top-50 NMS
+        grasps = []
+        for i in range(10):
+            a = 2 * np.pi * i / 10
+            d = np.array([np.cos(a), np.sin(a), 0.0], np.float32)
+            grasps.append(
+                make_grasp(
+                    np.array([0, 0, 0.4], np.float32) - 0.045 * d,
+                    d, 0.08, 0.05, score=1.0 - 0.01 * i,
+                )
+            )
+        grasps = np.stack(grasps)
+        ap = eval_frame(grasps, [pts], [normals], [pose], collision_thresh=1e9)
+        # 10 of 50 slots filled with positives at most frictions
+        assert ap[-1] >= 10 / 50 * 0.5
+
+    def test_protocol_nms_collapses_duplicates(self):
+        # co-located duplicates count ONCE after the protocol's NMS; raw
+        # scoring (apply_nms=False) keeps all copies
+        rng = np.random.default_rng(0)
+        pts = make_sphere(rng=rng)
+        normals = estimate_normals(pts, k=12)
+        pose = np.concatenate([np.eye(3, dtype=np.float32), np.array([[0.0], [0.0], [0.4]], np.float32)], 1)
         grasps = np.stack(
             [
                 make_grasp([-0.045, 0.0, 0.4], [1, 0, 0], 0.08, 0.05, score=1.0 - 0.01 * i)
                 for i in range(10)
             ]
         )
-        ap = eval_frame(grasps, [pts], [normals], [pose], collision_thresh=1e9)
-        # 10 of 50 slots filled with positives at most frictions
-        assert ap[-1] >= 10 / 50 * 0.5
+        ap_nms = eval_frame(grasps, [pts], [normals], [pose], collision_thresh=1e9)
+        ap_raw = eval_frame(
+            grasps, [pts], [normals], [pose], collision_thresh=1e9, apply_nms=False
+        )
+        assert ap_raw[-1] > ap_nms[-1] > 0.0
 
     def test_empty(self):
         ap = eval_frame(np.zeros((0, 17), np.float32), [], [], [])
