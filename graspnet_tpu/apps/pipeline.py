@@ -39,6 +39,9 @@ class GraspPipeline:
         checkpoint_path: Optional[str] = None,
         seed: int = 0,
     ):
+        from graspnet_tpu.utils.compile_cache import enable as enable_compile_cache
+
+        enable_compile_cache()
         self.cfg = cfg
         if params is not None:
             self.params = params

@@ -120,6 +120,9 @@ class Trainer:
         params: Optional[Dict[str, Any]] = None,
         seed: int = 0,
     ):
+        from graspnet_tpu.utils.compile_cache import enable as enable_compile_cache
+
+        enable_compile_cache()
         self.cfg = cfg
         self.tc = tc
         self.mesh = mesh if mesh is not None else make_mesh(1)

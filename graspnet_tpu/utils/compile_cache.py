@@ -1,0 +1,43 @@
+"""Persistent XLA compilation cache.
+
+First compilation of the serving/training programs costs seconds to minutes
+per process launch (the reference pays the analogous torch-extension JIT
+build once at install time).  Enabling jax's persistent cache makes every
+entry point after the first launch start in ~100 ms of cache reads instead.
+
+Called by every app/bench entry point before the first jit; opt out with
+GRASPNET_COMPILE_CACHE=off, override the location with
+GRASPNET_COMPILE_CACHE=/path.
+"""
+
+from __future__ import annotations
+
+import os
+
+_done = False
+
+
+def enable(path: str | None = None) -> str | None:
+    """Idempotently point jax at an on-disk compilation cache.
+
+    Returns the cache dir, or None when disabled/unavailable.
+    """
+    global _done
+    env = os.environ.get("GRASPNET_COMPILE_CACHE")
+    if env == "off":
+        return None
+    path = path or env or os.path.expanduser("~/.cache/graspnet_tpu/xla")
+    if _done:
+        return path
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything that took meaningful compile time
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _done = True
+        return path
+    except Exception:
+        return None
