@@ -39,6 +39,14 @@ class ServiceConfig:
     seg_proximity_thresh: float = 0.02  # reference grasp_service.py mask filter
     max_world_z_for_approach: Optional[float] = None  # world-frame approach gate
     top_k: int = 50
+    # fixed rotation offsets chained onto the published TF's rotation,
+    # R_final = R_raw · R(q1) · R(q2) (reference demo.py:220-224,616-623:
+    # 90° about the diagonal Y-like axis, then 90° about Z); translation
+    # stays raw.  Set to () to publish the raw grasp rotation.
+    tf_rotation_offsets: tuple = (
+        (0.7071068, 0.0, 0.7071068, 0.0),
+        (0.0, 0.0, 0.7071068, 0.7071068),
+    )
 
 
 class GraspService:
@@ -109,9 +117,15 @@ class GraspService:
         if len(gg) == 0:
             return {"ok": False, "error": "no valid grasp"}
         best = gg[0]
+        from graspnet_tpu.utils.transforms import apply_rotation_offsets
+
+        tf_pose = apply_rotation_offsets(
+            best.to_matrix(), self.cfg.tf_rotation_offsets
+        )
         return {
             "ok": True,
             "best_pose": best.to_matrix().tolist(),
+            "tf_pose": tf_pose.tolist(),
             "best_score": best.score,
             "best_width": best.width,
             "num_grasps": len(gg),
@@ -216,7 +230,8 @@ def run_ros_node(service_cfg: ServiceConfig, camera_link: str = "camera_link"):
                 cloud = create_point_cloud_from_depth_image(depth, cam, organized=False)
                 out = self.service.compute(cloud)
                 if out["ok"]:
-                    self._publish_tf(np.asarray(out["best_pose"]), camera_link)
+                    # offset-chained rotation, raw translation (demo.py:616-655)
+                    self._publish_tf(np.asarray(out["tf_pose"]), camera_link)
                 response.success = bool(out["ok"])
                 response.message = json.dumps(
                     {k: v for k, v in out.items() if k != "grasps"}

@@ -50,6 +50,22 @@ def quaternion_to_matrix(q: np.ndarray) -> np.ndarray:
     )
 
 
+def apply_rotation_offsets(pose: np.ndarray, offsets) -> np.ndarray:
+    """Chain fixed rotation offsets onto a 4x4 grasp pose: R_final =
+    R_raw · R(q1) · R(q2) · ..., translation untouched (reference
+    demo.py:590-655 publish_modified_grasp_tf — the published
+    `estimated_grasp` TF carries the offset-chained rotation).
+
+    offsets: iterable of (x, y, z, w) quaternions.
+    """
+    out = np.array(pose, dtype=np.float64, copy=True)
+    R = out[:3, :3]
+    for q in offsets:
+        R = R @ quaternion_to_matrix(q)
+    out[:3, :3] = R
+    return out
+
+
 def compose_base_grasp(
     base_from_camera: np.ndarray, camera_grasp: np.ndarray
 ) -> np.ndarray:

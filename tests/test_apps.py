@@ -276,3 +276,33 @@ def test_pipeline_fused_topk_matches_host_path(rng):
     np.testing.assert_allclose(
         fused.grasp_group_array, host.grasp_group_array, rtol=0, atol=0
     )
+
+
+def test_rotation_offsets_match_scipy(rng):
+    """R_raw * R(q1) * R(q2) composition == scipy Rotation chaining
+    (reference demo.py publish_modified_grasp_tf semantics)."""
+    scipy_tf = pytest.importorskip("scipy.spatial.transform")
+    from graspnet_tpu.utils.transforms import apply_rotation_offsets
+
+    q1 = (0.7071068, 0.0, 0.7071068, 0.0)
+    q2 = (0.0, 0.0, 0.7071068, 0.7071068)
+    raw, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    pose = np.eye(4)
+    pose[:3, :3] = raw
+    pose[:3, 3] = [0.1, 0.2, 0.3]
+    got = apply_rotation_offsets(pose, (q1, q2))
+    R = scipy_tf.Rotation
+    want = (R.from_matrix(raw) * R.from_quat(q1) * R.from_quat(q2)).as_matrix()
+    np.testing.assert_allclose(got[:3, :3], want, atol=1e-6)
+    np.testing.assert_allclose(got[:3, 3], pose[:3, 3])  # translation raw
+
+
+def test_service_output_carries_tf_pose(tiny_service, rng):
+    out = tiny_service.compute(scene_cloud(rng))
+    assert out["ok"]
+    from graspnet_tpu.utils.transforms import apply_rotation_offsets
+
+    want = apply_rotation_offsets(
+        np.asarray(out["best_pose"]), tiny_service.cfg.tf_rotation_offsets
+    )
+    np.testing.assert_allclose(np.asarray(out["tf_pose"]), want, atol=1e-12)
