@@ -137,6 +137,58 @@ class GraspService:
         }
 
 
+# --------------------------------------------------- ROS message helpers ----
+# Pure functions (no rclpy import) so the message decoding / segmentation
+# geometry is unit-testable without a ROS install.
+
+
+def pointcloud2_to_xyz(msg):
+    """PointCloud2 -> ((N, 3) float32 xyz, (N, 3) float rgb or None).
+
+    Assumes the all-float32 field layout the reference consumes
+    (grasp_service.py:166-177): fields live at 4-byte strides inside
+    point_step; packed rgb floats are bit-reinterpreted as uint32.
+    `msg` needs .data, .point_step and .fields (objects with .name) — a
+    real sensor_msgs PointCloud2 or any namespace shaped like one.
+    """
+    field_names = [f.name for f in msg.fields]
+    cloud = np.frombuffer(bytes(msg.data), dtype=np.float32).reshape(
+        -1, msg.point_step // 4
+    )
+    xyz = cloud[:, [field_names.index(c) for c in ("x", "y", "z")]]
+    rgb = None
+    if "rgb" in field_names:
+        packed = cloud[:, field_names.index("rgb")].copy()
+        packed.dtype = np.uint32
+        rgb = (
+            np.stack(
+                [(packed >> 16) & 0xFF, (packed >> 8) & 0xFF, packed & 0xFF],
+                axis=1,
+            ).astype(np.float32)
+            / 255.0
+        )
+    return np.ascontiguousarray(xyz, dtype=np.float32), rgb
+
+
+def segment_cloud_by_mask(
+    points: np.ndarray, mask_image: np.ndarray, intrinsics
+) -> Optional[np.ndarray]:
+    """Points whose pinhole projection lands on a hot mask pixel
+    (reference grasp_service.py:226-238: project, bounds-check, mask > 127)."""
+    if points is None or len(points) == 0:
+        return None
+    fx, fy, cx, cy = intrinsics
+    h, w = mask_image.shape[:2]
+    in_front = points[:, 2] > 0
+    p = points[in_front]
+    u = p[:, 0] * fx / p[:, 2] + cx
+    v = p[:, 1] * fy / p[:, 2] + cy
+    bounds = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    ui, vi = u[bounds].astype(int), v[bounds].astype(int)
+    hot = mask_image[vi, ui] > 127
+    return points[np.where(in_front)[0][bounds][hot]]
+
+
 # ----------------------------------------------------------- TCP wrapper ----
 
 
@@ -199,7 +251,6 @@ def run_ros_node(service_cfg: ServiceConfig, camera_link: str = "camera_link"):
     import rclpy  # noqa: PLC0415
     from rclpy.node import Node
     from std_srvs.srv import Trigger
-    from geometry_msgs.msg import TransformStamped
     from tf2_ros import TransformBroadcaster
 
     from graspnet_tpu.sensors.cameras import CameraRealsense
@@ -247,21 +298,9 @@ def run_ros_node(service_cfg: ServiceConfig, camera_link: str = "camera_link"):
             return response
 
         def _publish_tf(self, pose: np.ndarray, parent: str):
-            from graspnet_tpu.utils.transforms import matrix_to_quaternion
-
-            t = TransformStamped()
-            t.header.stamp = self.get_clock().now().to_msg()
-            t.header.frame_id = parent
-            t.child_frame_id = "estimated_grasp"
-            t.transform.translation.x = float(pose[0, 3])
-            t.transform.translation.y = float(pose[1, 3])
-            t.transform.translation.z = float(pose[2, 3])
-            q = matrix_to_quaternion(pose[:3, :3])
-            t.transform.rotation.x = float(q[0])
-            t.transform.rotation.y = float(q[1])
-            t.transform.rotation.z = float(q[2])
-            t.transform.rotation.w = float(q[3])
-            self.broadcaster.sendTransform(t)
+            _publish_estimated_grasp_tf(
+                self.broadcaster, self.get_clock(), pose, parent
+            )
 
     rclpy.init()
     node = GraspServiceNode()
@@ -272,19 +311,145 @@ def run_ros_node(service_cfg: ServiceConfig, camera_link: str = "camera_link"):
         rclpy.shutdown()
 
 
+def run_ros_consumer_node(
+    service_cfg: ServiceConfig,
+    camera_link: str = "camera_link",
+    world_frame: str = "world",
+    points_topic: str = "/perception/points",
+    mask_topic: str = "/perception/mask",
+    camera_info_topic: str = "/perception/camera_info",
+    min_callback_period_s: float = 2.0,
+):
+    """Subscription-driven variant (reference grasp_service.py): an
+    ApproximateTimeSynchronizer over points + mask + camera_info triggers the
+    pipeline (rate-limited to one run per `min_callback_period_s`), grasps
+    are filtered by mask proximity and world-frame approach (via a TF
+    lookup), and the best grasp publishes as the `estimated_grasp` TF."""
+    import rclpy  # noqa: PLC0415
+    import message_filters
+    import tf2_ros
+    from rclpy.node import Node
+    from sensor_msgs.msg import CameraInfo, Image, PointCloud2
+
+    class GraspNetConsumerNode(Node):
+        def __init__(self):
+            super().__init__("graspnet_tpu_consumer")
+            self.service = GraspService(service_cfg)
+            self.broadcaster = tf2_ros.TransformBroadcaster(self)
+            self.tf_buffer = tf2_ros.Buffer()
+            self.tf_listener = tf2_ros.TransformListener(self.tf_buffer, self)
+            self.last_time = None
+            subs = [
+                message_filters.Subscriber(self, PointCloud2, points_topic),
+                message_filters.Subscriber(self, Image, mask_topic),
+                message_filters.Subscriber(self, CameraInfo, camera_info_topic),
+            ]
+            self.ts = message_filters.ApproximateTimeSynchronizer(
+                subs, queue_size=10, slop=0.2
+            )
+            self.ts.registerCallback(self.perception_callback)
+
+        def perception_callback(self, pcd_msg, mask_msg, info_msg):
+            now = self.get_clock().now()
+            if (
+                self.last_time is not None
+                and (now - self.last_time).nanoseconds / 1e9 < min_callback_period_s
+            ):
+                self.get_logger().warn("data arrived too quickly; skipping frame")
+                return
+            self.last_time = now
+            try:
+                cloud, _ = pointcloud2_to_xyz(pcd_msg)
+                mask = np.frombuffer(bytes(mask_msg.data), np.uint8).reshape(
+                    mask_msg.height, mask_msg.width
+                )
+                k = info_msg.k
+                mask_pts = segment_cloud_by_mask(
+                    cloud, mask, (k[0], k[4], k[2], k[5])
+                )
+                wfc = None
+                if service_cfg.max_world_z_for_approach is not None:
+                    from graspnet_tpu.utils.transforms import quaternion_to_matrix
+
+                    tfs = self.tf_buffer.lookup_transform(
+                        world_frame, camera_link, rclpy.time.Time()
+                    )
+                    q = tfs.transform.rotation
+                    wfc = np.eye(4, dtype=np.float32)
+                    wfc[:3, :3] = quaternion_to_matrix([q.x, q.y, q.z, q.w])
+                out = self.service.compute(
+                    cloud, mask_points=mask_pts, world_from_camera=wfc
+                )
+                if out["ok"]:
+                    _publish_estimated_grasp_tf(
+                        self.broadcaster, self.get_clock(),
+                        np.asarray(out["tf_pose"]), camera_link,
+                    )
+                else:
+                    self.get_logger().warn(f"no grasp: {out.get('error')}")
+            except Exception as e:  # noqa: BLE001 — node must not die
+                self.get_logger().error(f"perception callback failed: {e}")
+
+    rclpy.init()
+    node = GraspNetConsumerNode()
+    try:
+        rclpy.spin(node)
+    finally:
+        node.destroy_node()
+        rclpy.shutdown()
+
+
+def _publish_estimated_grasp_tf(broadcaster, clock, pose: np.ndarray, parent: str):
+    """Broadcast a 4x4 pose as the `estimated_grasp` child TF."""
+    from geometry_msgs.msg import TransformStamped
+
+    from graspnet_tpu.utils.transforms import matrix_to_quaternion
+
+    t = TransformStamped()
+    t.header.stamp = clock.now().to_msg()
+    t.header.frame_id = parent
+    t.child_frame_id = "estimated_grasp"
+    t.transform.translation.x = float(pose[0, 3])
+    t.transform.translation.y = float(pose[1, 3])
+    t.transform.translation.z = float(pose[2, 3])
+    q = matrix_to_quaternion(pose[:3, :3])
+    t.transform.rotation.x = float(q[0])
+    t.transform.rotation.y = float(q[1])
+    t.transform.rotation.z = float(q[2])
+    t.transform.rotation.w = float(q[3])
+    broadcaster.sendTransform(t)
+
+
 def main():
     import argparse
 
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint_path", default=None)
     p.add_argument("--port", type=int, default=9876)
-    p.add_argument("--ros", action="store_true", help="run as a ROS 2 node")
+    p.add_argument(
+        "--ros", action="store_true",
+        help="run as a ROS 2 trigger-service node (reference demo.py)",
+    )
+    p.add_argument(
+        "--ros_consumer", action="store_true",
+        help="run as a ROS 2 subscription consumer node (reference "
+        "grasp_service.py: synchronized points/mask/camera_info topics)",
+    )
     p.add_argument("--collision_thresh", type=float, default=0.01)
+    p.add_argument("--camera_link", default="camera_link")
+    p.add_argument("--world_frame", default="world")
+    p.add_argument("--max_world_z_for_approach", type=float, default=None)
     args = p.parse_args()
     cfg = ServiceConfig(
-        checkpoint_path=args.checkpoint_path, collision_thresh=args.collision_thresh
+        checkpoint_path=args.checkpoint_path,
+        collision_thresh=args.collision_thresh,
+        max_world_z_for_approach=args.max_world_z_for_approach,
     )
-    if args.ros:
+    if args.ros_consumer:
+        run_ros_consumer_node(
+            cfg, camera_link=args.camera_link, world_frame=args.world_frame
+        )
+    elif args.ros:
         run_ros_node(cfg)
     else:
         service = GraspService(cfg)

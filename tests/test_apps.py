@@ -306,3 +306,64 @@ def test_service_output_carries_tf_pose(tiny_service, rng):
         np.asarray(out["best_pose"]), tiny_service.cfg.tf_rotation_offsets
     )
     np.testing.assert_allclose(np.asarray(out["tf_pose"]), want, atol=1e-12)
+
+
+class TestRosHelpers:
+    def test_pointcloud2_to_xyz_with_rgb(self, rng):
+        from types import SimpleNamespace
+
+        from graspnet_tpu.apps.service import pointcloud2_to_xyz
+
+        n = 37
+        xyz = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+        rgb888 = rng.integers(0, 255, (n, 3), dtype=np.uint32)
+        packed = (rgb888[:, 0] << 16) | (rgb888[:, 1] << 8) | rgb888[:, 2]
+        rows = np.concatenate(
+            [xyz, packed.view(np.float32)[:, None].astype(np.float32, copy=False)],
+            axis=1,
+        ).astype(np.float32)
+        rows[:, 3] = packed.astype(np.uint32).view(np.float32)
+        msg = SimpleNamespace(
+            data=rows.tobytes(),
+            point_step=16,
+            fields=[SimpleNamespace(name=c) for c in ("x", "y", "z", "rgb")],
+        )
+        got_xyz, got_rgb = pointcloud2_to_xyz(msg)
+        np.testing.assert_array_equal(got_xyz, xyz)
+        np.testing.assert_allclose(got_rgb, rgb888.astype(np.float32) / 255.0)
+
+    def test_pointcloud2_to_xyz_reordered_fields(self, rng):
+        from types import SimpleNamespace
+
+        from graspnet_tpu.apps.service import pointcloud2_to_xyz
+
+        n = 10
+        xyz = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+        rows = np.concatenate([xyz[:, 2:3], xyz[:, 0:1], xyz[:, 1:2]], axis=1)
+        msg = SimpleNamespace(
+            data=rows.astype(np.float32).tobytes(),
+            point_step=12,
+            fields=[SimpleNamespace(name=c) for c in ("z", "x", "y")],
+        )
+        got_xyz, got_rgb = pointcloud2_to_xyz(msg)
+        np.testing.assert_array_equal(got_xyz, xyz)
+        assert got_rgb is None
+
+    def test_segment_cloud_by_mask(self):
+        from graspnet_tpu.apps.service import segment_cloud_by_mask
+
+        K = (100.0, 100.0, 6.0, 5.0)
+        mask = np.zeros((10, 12), np.uint8)
+        mask[5, 6] = 255  # principal-point pixel is hot
+        pts = np.array(
+            [
+                [0.0, 0.0, 0.5],     # projects to (6, 5): kept
+                [0.02, 0.0, 0.5],    # projects to (10, 5): cold pixel
+                [0.0, 0.0, -0.5],    # behind the camera
+                [5.0, 5.0, 0.5],     # out of bounds
+            ],
+            np.float32,
+        )
+        got = segment_cloud_by_mask(pts, mask, K)
+        np.testing.assert_array_equal(got, pts[:1])
+        assert segment_cloud_by_mask(np.zeros((0, 3), np.float32), mask, K) is None
