@@ -32,6 +32,12 @@ def enable(path: str | None = None) -> str | None:
     try:
         import jax
 
+        if env is None and jax.default_backend() == "cpu":
+            # CPU AOT cache entries embed exact machine features and can
+            # SIGILL when reloaded on a different host; CPU compiles are
+            # also fast enough not to need it.  Opt in explicitly via
+            # GRASPNET_COMPILE_CACHE=<dir> when the tradeoff is wanted.
+            return None
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache everything that took meaningful compile time
