@@ -150,6 +150,31 @@ class TestDataset:
         assert batches[0]["point_clouds"].shape == (2, cfg.num_point, 3)
         assert batches[0]["sa_inds"]["sa2"].shape == (2, cfg.sa2.npoint)
 
+    def test_dataloader_shards_are_disjoint_and_cover(self):
+        """Multi-host partition: identically-seeded shards must be disjoint
+        per epoch and jointly cover the (truncated) permutation."""
+
+        class IndexDataset:
+            def __len__(self):
+                return 13
+
+            def __getitem__(self, i):
+                return {"i": np.int64(i)}
+
+        d = IndexDataset()
+        seen = []
+        for shard in range(3):
+            loader = ds.DataLoader(
+                d, batch_size=2, shuffle=True, num_workers=1, seed=7,
+                num_shards=3, shard_index=shard, drop_last=False,
+            )
+            assert len(loader) == 2  # 13 // 3 = 4 local frames -> 2 batches
+            idxs = np.concatenate([b["i"] for b in loader])
+            assert len(idxs) == 4
+            seen.append(idxs)
+        flat = np.concatenate(seen)
+        assert len(np.unique(flat)) == 12  # disjoint, covering 12 of 13
+
 
 class TestAugment:
     def test_flip_rotate_consistency(self, rng):
