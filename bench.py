@@ -17,7 +17,6 @@ def main():
 
     from graspnet_tpu.apps.pipeline import GraspPipeline
     from graspnet_tpu.config import GraspNetConfig
-    from graspnet_tpu.data.camera import CameraInfo, create_point_cloud_from_depth_image
 
     cfg = GraspNetConfig()
     pipe = GraspPipeline(cfg=cfg, seed=0)

@@ -21,7 +21,6 @@ Torch conv weights are (out, in, 1[, 1]) and become (in, out) dense kernels.
 from __future__ import annotations
 
 import os
-import re
 from typing import Any, Dict
 
 import numpy as np

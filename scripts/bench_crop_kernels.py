@@ -7,7 +7,7 @@ between two K values cancels the tunneled backend's RPC floor.
 
 import os
 import sys
-import time
+
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -19,37 +19,7 @@ from graspnet_tpu.config import GraspNetConfig
 from graspnet_tpu.models import init_graspnet
 from graspnet_tpu.nn.layers import shared_mlp_init
 
-K_LO, K_HI = 10, 60
-
-
-def _loop(fn, k):
-    def loop(*a):
-        def body(carry, _):
-            out = fn(carry, *a[1:])
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            eps = (leaf.ravel()[0] * 0.0).astype(a[0].dtype)
-            return a[0] + eps, leaf.ravel()[0]
-        _, outs = jax.lax.scan(body, a[0], None, length=k)
-        return outs
-    return jax.jit(loop)
-
-
-def _time(fn_j, args, reps=3):
-    jax.device_get(fn_j(*args))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.device_get(fn_j(*args))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-
-def timeit(name, fn, *args):
-    t_lo = _time(_loop(fn, K_LO), args)
-    t_hi = _time(_loop(fn, K_HI), args)
-    per = (t_hi - t_lo) / (K_HI - K_LO)
-    print(f"{name:52s} {per*1000:9.3f} ms")
-    return per
+from slope_timing import timeit  # noqa: E402 — shared harness
 
 
 def main():

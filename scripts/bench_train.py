@@ -106,8 +106,13 @@ def main():
     ]
     labels = {k2: np.stack([m[k2] for m in matched]) for k2 in matched[0]}
     labels["label_u_max"] = np.float32(max(c.scene_umax for c in ctxs2))
+    # shard_batch directly, exactly like Trainer.step_prepared — trainer.put
+    # would bf16-cast the label slabs under tc.label_dtype='bfloat16' and
+    # time a program the compact path never runs
+    from graspnet_tpu.parallel.mesh import shard_batch
+
     db = dict(device_small)
-    db.update(trainer.put(labels))
+    db.update(shard_batch(trainer.mesh, labels))
     mom = jnp.float32(0.5)
     times = {}
     for kk in (4, 24):

@@ -10,7 +10,6 @@ effects.  A trivial-op slope is reported as the scan-overhead baseline.
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -24,37 +23,7 @@ from graspnet_tpu.models import init_graspnet, graspnet_forward, pred_decode
 from graspnet_tpu.models.backbone import backbone_forward
 from graspnet_tpu.models import heads
 
-K_LO, K_HI = 10, 60
-
-
-def _loop(fn, k):
-    def loop(*a):
-        def body(carry, _):
-            out = fn(carry, *a[1:])
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            eps = (leaf.ravel()[0] * 0.0).astype(a[0].dtype)
-            return a[0] + eps, leaf.ravel()[0]
-        _, outs = jax.lax.scan(body, a[0], None, length=k)
-        return outs
-    return jax.jit(loop)
-
-
-def _time(fn_j, args, reps=3):
-    jax.device_get(fn_j(*args))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.device_get(fn_j(*args))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-
-def timeit(name, fn, *args):
-    t_lo = _time(_loop(fn, K_LO), args)
-    t_hi = _time(_loop(fn, K_HI), args)
-    per = (t_hi - t_lo) / (K_HI - K_LO)
-    print(f"{name:46s} {per*1000:9.3f} ms")
-    return per
+from slope_timing import timeit  # noqa: E402 — shared harness
 
 
 def main():
@@ -85,14 +54,14 @@ def main():
         x, f = stage_in
         pre = inds[name]
         if f is None:
-            out = timeit(
+            timeit(
                 f"{name} w/ precomputed inds ({x.shape[1]}->{sa.npoint})",
                 lambda xx, ii: _sa_stage(bp[name], sa, xx, None, train=False,
                                          eps=cfg.bn_eps, inds=ii)[:2],
                 x, pre,
             )
         else:
-            out = timeit(
+            timeit(
                 f"{name} w/ precomputed inds ({x.shape[1]}->{sa.npoint})",
                 lambda xx, ff, ii: _sa_stage(bp[name], sa, xx, ff, train=False,
                                              eps=cfg.bn_eps, inds=ii)[:2],

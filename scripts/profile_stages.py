@@ -103,13 +103,17 @@ def main():
         stage_in = {"xyz": out[0], "feat": out[1]}
         carried.append(out)
     (s1x, s1f), (s2x, s2f), (s3x, s3f), (s4x, s4f) = carried
+    # inputs MUST be passed as args: a nullary jitted lambda embeds the
+    # arrays as HLO constants and XLA constant-folds the whole stage away
     f1 = timeit(
         "fp1 (512<-256)",
-        lambda: _fp_stage(bp["fp1"], s3x, s4x, s3f, s4f, train=False, eps=cfg.bn_eps)[0],
+        lambda a, b, c, d: _fp_stage(bp["fp1"], a, b, c, d, train=False, eps=cfg.bn_eps)[0],
+        s3x, s4x, s3f, s4f,
     )
     timeit(
         "fp2 (1024<-512)",
-        lambda: _fp_stage(bp["fp2"], s2x, s3x, s2f, f1, train=False, eps=cfg.bn_eps)[0],
+        lambda a, b, c, d: _fp_stage(bp["fp2"], a, b, c, d, train=False, eps=cfg.bn_eps)[0],
+        s2x, s3x, s2f, f1,
     )
 
     # full backbone

@@ -1,0 +1,51 @@
+"""Shared slope-method timing harness for device benchmarks.
+
+The tunneled backend adds a large fixed RPC cost to every host-side sync,
+which swamps per-stage measurements.  Each stage is looped K times *inside*
+one jitted program with a serializing data dependency; timing the same
+program at two different K and taking the slope (T(K_HI) - T(K_LO)) /
+(K_HI - K_LO) cancels both the RPC floor and compile-cache effects.
+
+Inputs MUST be passed as arguments to `fn` (never closure-captured): a
+nullary jitted lambda embeds its arrays as HLO constants, letting XLA
+constant-fold the whole stage at compile time and report ~0 ms.
+"""
+
+import time
+
+import jax
+
+K_LO, K_HI = 10, 60
+
+
+def _loop(fn, k):
+    def loop(*a):
+        def body(carry, _):
+            out = fn(carry, *a[1:])
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            eps = (leaf.ravel()[0] * 0.0).astype(a[0].dtype)
+            return a[0] + eps, leaf.ravel()[0]
+
+        _, outs = jax.lax.scan(body, a[0], None, length=k)
+        return outs
+
+    return jax.jit(loop)
+
+
+def _time(fn_j, args, reps=3):
+    jax.device_get(fn_j(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_get(fn_j(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def timeit(name, fn, *args, width=50):
+    assert args, "pass inputs as args — closure capture constant-folds (see module docstring)"
+    t_lo = _time(_loop(fn, K_LO), args)
+    t_hi = _time(_loop(fn, K_HI), args)
+    per = (t_hi - t_lo) / (K_HI - K_LO)
+    print(f"{name:{width}s} {per*1000:9.3f} ms")
+    return per

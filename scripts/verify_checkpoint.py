@@ -43,7 +43,10 @@ def main():
     from graspnet_tpu.config import GraspNetConfig
 
     # --- 1. conversion audit -------------------------------------------------
-    raw = torch.load(args.checkpoint, map_location="cpu")
+    # weights_only=False: the published .tar pickles optimizer state / loss
+    # objects that torch>=2.6's safe loader rejects (same flag as
+    # checkpoint.load_torch_checkpoint)
+    raw = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
     sd = raw.get("model_state_dict", raw)
     sd = {k: v.numpy() for k, v in sd.items()}
     params = checkpoint.convert_torch_state_dict(sd)
@@ -62,7 +65,9 @@ def main():
     # --- 2. example-frame inference -----------------------------------------
     cfg = GraspNetConfig()
     pipe = GraspPipeline(params=params, cfg=cfg)
-    print(f"compile: {pipe.warmup():.1f}s")
+    # nms=False matches the run() call below (golden rows are pre-NMS), so
+    # the timed compile is the program that actually executes
+    print(f"compile: {pipe.warmup(nms=False):.1f}s")
     scene_cloud = load_frame(args.data_dir)
     sampled = pipe.sample_cloud(scene_cloud)
     gg = pipe.run(
