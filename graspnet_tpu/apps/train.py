@@ -58,6 +58,11 @@ def parse_args():
         help="bfloat16 halves the per-step label transfer (full mode only)",
     )
     p.add_argument(
+        "--debug_nans", action="store_true",
+        help="enable jax_debug_nans: abort with a traceback at the first "
+        "NaN-producing op instead of training on poisoned values",
+    )
+    p.add_argument(
         "--label_mode", default="compact", choices=["compact", "full"],
         help="compact = two-phase step shipping only matched label slabs "
         "(~100x less host->device traffic, bit-identical steps); full = "
@@ -90,6 +95,11 @@ def main():
             f"multi-host runtime: process {jax.process_index()}/{jax.process_count()},"
             f" {len(jax.devices())} global devices"
         )
+
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     cfg = (
         GraspNetConfig.tiny()
@@ -179,6 +189,44 @@ def main():
         num_workers=args.num_workers, num_shards=nproc, shard_index=proc_id,
     )
 
+    def save_checkpoint(epoch_done: int, tag: str = "checkpoint"):
+        """Save full train state; resume restarts at epoch_done + 1."""
+        if proc_id != 0:
+            return
+        state = {
+            "params": trainer.params,
+            "opt_state": trainer.opt_state,
+            "epoch": np.int32(epoch_done),
+        }
+        if multihost:
+            import jax
+
+            state = jax.tree_util.tree_map(
+                lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+                state,
+            )
+        checkpoint.save(os.path.join(os.path.abspath(args.log_dir), tag), state)
+        logger.log(f"saved {tag} (resume epoch {epoch_done + 1})")
+
+    # Preemption safety (TPU pods get preempted): on SIGTERM/SIGINT finish
+    # the in-flight step, checkpoint at epoch-1 granularity (the current
+    # epoch restarts on resume — steps are cheap, labels are resampled
+    # per-epoch anyway), then exit cleanly.  The reference has no trainer
+    # fault tolerance at all (SURVEY.md §5.3).
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_preempt(signum, frame):
+        preempted["flag"] = True
+        logger.log(f"signal {signum}: checkpoint-and-exit after this step")
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_preempt)
+        except ValueError:  # not the main thread (e.g. under a test runner)
+            break
+
     for epoch in range(start_epoch, tc.max_epoch):
         trainer.set_epoch(epoch)
         train_ds.set_epoch(epoch)  # fresh per-frame sampling/augmentation
@@ -213,6 +261,10 @@ def main():
             step += 1
             if step % args.log_every == 0:
                 logger.flush("train", epoch * len(train_loader) + step)
+            if preempted["flag"]:
+                save_checkpoint(epoch - 1, tag="checkpoint")
+                logger.log("preemption checkpoint written; exiting")
+                return
         # flush any train metrics accumulated since the last log_every
         # boundary — they must not bleed into the eval window below
         if step % args.log_every != 0:
@@ -224,26 +276,9 @@ def main():
             logger.accumulate(metrics)
         logger.flush("eval", (epoch + 1) * len(train_loader))
 
-        if proc_id == 0:
-            # params/opt_state are fully replicated, so process 0 holds the
-            # complete state; save host numpy copies (no multihost
-            # coordination needed in the checkpointer)
-            state = {
-                "params": trainer.params,
-                "opt_state": trainer.opt_state,
-                "epoch": np.int32(epoch),
-            }
-            if multihost:
-                import jax
-
-                state = jax.tree_util.tree_map(
-                    lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
-                    state,
-                )
-            checkpoint.save(
-                os.path.join(os.path.abspath(args.log_dir), "checkpoint"), state
-            )
-            logger.log(f"saved checkpoint at epoch {epoch}")
+        # params/opt_state are fully replicated, so process 0 holds the
+        # complete state (save_checkpoint no-ops on other processes)
+        save_checkpoint(epoch)
 
 
 if __name__ == "__main__":

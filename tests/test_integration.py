@@ -79,6 +79,46 @@ def test_train_cli_resume_from_checkpoint(dataset_root, tmp_path):
     assert log_text.count("EPOCH 000") == 1
 
 
+def test_train_cli_preemption_checkpoint(dataset_root, tmp_path):
+    """SIGTERM mid-training must checkpoint and return cleanly (TPU-pod
+    preemption safety; the reference has no trainer fault tolerance)."""
+    import signal
+    import threading
+    import time
+
+    from graspnet_tpu.apps.train import main
+
+    log_dir = tmp_path / "log_preempt"
+    log_file = log_dir / "log_train.txt"
+
+    def killer():
+        for _ in range(1200):
+            if log_file.exists() and "EPOCH 000" in log_file.read_text():
+                time.sleep(0.5)  # let at least one step dispatch
+                os.kill(os.getpid(), signal.SIGTERM)
+                return
+            time.sleep(0.25)
+
+    t = threading.Thread(target=killer, daemon=True)
+    t.start()
+    try:
+        _run_main(
+            main,
+            [
+                "train", "--dataset_root", dataset_root, "--camera", "realsense",
+                "--log_dir", str(log_dir), "--tiny", "--max_epoch", "50",
+                "--batch_size", "2", "--num_workers", "1", "--log_every", "1",
+                "--num_objects", "3",
+            ],
+        )
+    finally:
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        signal.signal(signal.SIGINT, signal.default_int_handler)
+    text = log_file.read_text()
+    assert "preemption checkpoint written" in text
+    assert os.path.isdir(os.path.join(str(log_dir), "checkpoint"))
+
+
 def test_test_cli_dump_and_eval(dataset_root, tmp_path):
     from graspnet_tpu.apps.test import main
 
