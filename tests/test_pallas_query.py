@@ -108,3 +108,33 @@ class TestBatchedSelection:
         ref = np.asarray(ops.ball_query(xyz, centers, 0.5, 8, use_pallas=False))
         np.testing.assert_array_equal(got, ref)
         assert (got[0, 0] == 0).all()  # far center: zero-hit row
+
+
+def test_batched_query_fuzz_configs():
+    """Randomized shape/radius sweep: batched Pallas (interpret) == XLA."""
+    import jax.numpy as jnp
+
+    from graspnet_tpu.models.heads import cylinder_query_multi_depth
+    from graspnet_tpu.ops.pallas.query import multi_query_batched_pallas
+
+    for seed in range(4):
+        r = np.random.default_rng(seed)
+        n = int(r.choice([130, 257, 384]))
+        m = int(r.choice([4, 8, 16]))
+        ns = int(r.choice([3, 8, 16]))
+        radius = float(r.choice([0.02, 0.1, 0.5]))
+        xyz = jnp.asarray(r.uniform(-0.3, 0.3, (1, n, 3)), jnp.float32)
+        centers = jnp.asarray(r.uniform(-0.3, 0.3, (1, m, 3)), jnp.float32)
+        q, _ = np.linalg.qr(r.normal(size=(m, 3, 3)))
+        rot = jnp.asarray(q[None], jnp.float32)
+        hmaxs = (0.01, 0.03)
+        got = multi_query_batched_pallas(
+            xyz, centers, rot, radius, -0.02, hmaxs, ns, rotate=True
+        )
+        want = cylinder_query_multi_depth(
+            xyz, centers, rot, radius, -0.02, list(hmaxs), ns
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want),
+            err_msg=f"seed={seed} n={n} m={m} ns={ns} r={radius}",
+        )

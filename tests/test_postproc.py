@@ -358,3 +358,31 @@ def test_collision_detector_bucketing_no_shape_explosion(rng):
         assert mask.shape == (m,)
     # zero-grasp edge case
     assert det.detect(GraspGroup(np.zeros((0, 17), np.float32))).shape == (0,)
+
+
+def test_device_nms_fuzz_many_seeds(rng):
+    """Randomized host/device NMS agreement across densities and sizes."""
+    import jax
+    import jax.numpy as jnp
+    from graspnet_tpu.postproc.nms import grasp_nms, nms_keep_mask
+
+    for seed in range(8):
+        r = np.random.default_rng(seed)
+        m = int(r.integers(2, 96))
+        arr = np.zeros((m, 17), np.float32)
+        arr[:, 0] = r.uniform(0, 1, m)
+        # duplicate scores to exercise index tie-breaks
+        if m > 4:
+            arr[1, 0] = arr[0, 0]
+            arr[3, 0] = arr[2, 0]
+        scale = r.choice([0.01, 0.05, 0.2])  # dense -> sparse scenes
+        arr[:, 13:16] = r.uniform(-scale, scale, (m, 3))
+        arr[:, 4:13] = np.linalg.qr(r.normal(size=(m, 3, 3)))[0].reshape(m, 9)
+        valid = r.random(m) < 0.85
+        keep = np.asarray(
+            jax.jit(nms_keep_mask)(jnp.asarray(arr), jnp.asarray(valid))
+        )
+        sub = grasp_nms(arr[valid])
+        want = np.zeros(m, bool)
+        want[np.nonzero(valid)[0][sub]] = True
+        np.testing.assert_array_equal(keep, want, err_msg=f"seed={seed} m={m}")
