@@ -19,35 +19,12 @@ Design goals (TPU-first, not a port):
 __version__ = "0.1.0"
 
 
-def _enable_persistent_compilation_cache() -> None:
-    """Point XLA at an on-disk compilation cache so every CLI / service
-    process reuses compiled programs (first compile of the full 20k-point
-    program costs up to ~90s on a shared chip; cached startups take ~2s).
-    Opt out with GRASPNET_TPU_NO_COMPILE_CACHE=1 or override the location
-    with JAX_COMPILATION_CACHE_DIR.
-    """
-    import os
-
-    if os.environ.get("GRASPNET_TPU_NO_COMPILE_CACHE"):
-        return
-    # CPU-only runs (unit tests, multichip dryruns on virtual devices) skip
-    # the cache: XLA:CPU AOT entries record host machine features and reloads
-    # across differing feature sets risk SIGILL; CPU compiles are fast anyway.
-    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
-        return
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
-        os.path.expanduser("~"), ".cache", "graspnet_tpu", "xla"
-    )
-    try:
-        import jax
-
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # cache every program, even fast-compiling ones
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception:  # noqa: BLE001 — cache is best-effort, never fatal
-        pass
+# NOTE: the persistent XLA compilation cache is enabled by
+# graspnet_tpu.utils.compile_cache.enable(), called from the Trainer /
+# GraspPipeline constructors and the bench scripts AFTER the backend is
+# initialized — never at package import, where the backend is unknown and a
+# silent CPU fallback would cache machine-feature-pinned AOT entries that
+# can SIGILL on other hosts.
 
 
 def _honor_jax_platforms_env() -> None:
@@ -70,6 +47,5 @@ def _honor_jax_platforms_env() -> None:
 
 
 _honor_jax_platforms_env()
-_enable_persistent_compilation_cache()
 
 from graspnet_tpu.config import GraspNetConfig  # noqa: F401,E402

@@ -78,7 +78,9 @@ def main():
 
     cfg = GraspNetConfig(num_point=args.num_point)
     pipe = GraspPipeline(cfg=cfg, checkpoint_path=args.checkpoint_path, seed=args.seed)
-    print(f"compile: {pipe.warmup():.1f}s")
+    print(
+        f"compile: {pipe.warmup(collision_thresh=args.collision_thresh, top_k=args.top_k):.1f}s"
+    )
 
     if not args.data_dir and not (args.depth_path and args.meta_path):
         raise SystemExit("need --data_dir or --depth_path + --meta_path")

@@ -66,8 +66,13 @@ class GraspService:
         gg: GraspGroup, mask_points: np.ndarray, thresh: float
     ) -> GraspGroup:
         """Keep grasps whose center lies near any segmented point."""
-        if len(gg) == 0 or len(mask_points) == 0:
+        if len(gg) == 0:
             return gg
+        if len(mask_points) == 0:
+            # a provided-but-empty segmentation means the target object is
+            # not visible: nothing may pass the proximity gate (returning
+            # everything would aim the robot at an arbitrary object)
+            return GraspGroup()
         centers = gg.translations
         d = np.linalg.norm(
             centers[:, None, :] - mask_points[None, :, :], axis=-1
@@ -145,20 +150,27 @@ class GraspService:
 def pointcloud2_to_xyz(msg):
     """PointCloud2 -> ((N, 3) float32 xyz, (N, 3) float rgb or None).
 
-    Assumes the all-float32 field layout the reference consumes
-    (grasp_service.py:166-177): fields live at 4-byte strides inside
-    point_step; packed rgb floats are bit-reinterpreted as uint32.
-    `msg` needs .data, .point_step and .fields (objects with .name) — a
-    real sensor_msgs PointCloud2 or any namespace shaped like one.
+    Assumes float32 x/y/z/rgb fields (the layout the reference consumes,
+    grasp_service.py:166-177) but honors each PointField's byte `offset` —
+    standard PCL/RealSense XYZRGB clouds pad (x@0 y@4 z@8 rgb@16,
+    point_step 32), so the declaration-order column is NOT the byte
+    position.  Fields without an `offset` attribute (test doubles) fall
+    back to 4-byte declaration-order strides.  Packed rgb floats are
+    bit-reinterpreted as uint32.  `msg` needs .data, .point_step and
+    .fields — a real sensor_msgs PointCloud2 or any namespace shaped
+    like one.
     """
-    field_names = [f.name for f in msg.fields]
+    cols = {}
+    for i, f in enumerate(msg.fields):
+        off = getattr(f, "offset", None)
+        cols[f.name] = (off if off is not None else 4 * i) // 4
     cloud = np.frombuffer(bytes(msg.data), dtype=np.float32).reshape(
         -1, msg.point_step // 4
     )
-    xyz = cloud[:, [field_names.index(c) for c in ("x", "y", "z")]]
+    xyz = cloud[:, [cols[c] for c in ("x", "y", "z")]]
     rgb = None
-    if "rgb" in field_names:
-        packed = cloud[:, field_names.index("rgb")].copy()
+    if "rgb" in cols:
+        packed = cloud[:, cols["rgb"]].copy()
         packed.dtype = np.uint32
         rgb = (
             np.stack(
@@ -360,9 +372,15 @@ def run_ros_consumer_node(
             self.last_time = now
             try:
                 cloud, _ = pointcloud2_to_xyz(pcd_msg)
+                if mask_msg.encoding not in ("mono8", "8UC1"):
+                    self.get_logger().error(
+                        f"unsupported mask encoding {mask_msg.encoding!r}"
+                    )
+                    return
+                # honor row stride: step >= width when rows are padded
                 mask = np.frombuffer(bytes(mask_msg.data), np.uint8).reshape(
-                    mask_msg.height, mask_msg.width
-                )
+                    mask_msg.height, mask_msg.step
+                )[:, : mask_msg.width]
                 k = info_msg.k
                 mask_pts = segment_cloud_by_mask(
                     cloud, mask, (k[0], k[4], k[2], k[5])

@@ -138,7 +138,7 @@ def main():
 
         nproc, proc_id = jax.process_count(), jax.process_index()
         assert tc.batch_size % nproc == 0, (
-            f"global batch {tc.batch_size} must divide process count {nproc}"
+            f"process count {nproc} must divide the global batch {tc.batch_size}"
         )
         mesh = global_mesh()
         logger.log(
@@ -218,14 +218,33 @@ def main():
     preempted = {"flag": False}
 
     def _on_preempt(signum, frame):
+        # flag-only: logging here would re-enter the BufferedWriter if the
+        # signal lands during a concurrent logger write (RuntimeError that
+        # would kill training WITHOUT a checkpoint)
         preempted["flag"] = True
-        logger.log(f"signal {signum}: checkpoint-and-exit after this step")
 
     for sig in (signal.SIGTERM, signal.SIGINT):
         try:
             signal.signal(sig, _on_preempt)
         except ValueError:  # not the main thread (e.g. under a test runner)
             break
+
+    def should_stop() -> bool:
+        """Per-step stop decision, agreed across processes.
+
+        A signal can land at different step boundaries on different hosts;
+        acting on the local flag alone would leave the others blocked in
+        the next step's collectives.  Every process calls the allgather
+        every step, so 'any host flagged' is decided consistently.
+        """
+        if not multihost:
+            return preempted["flag"]
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(preempted["flag"], np.int32)
+        )
+        return bool(np.asarray(flags).any())
 
     for epoch in range(start_epoch, tc.max_epoch):
         trainer.set_epoch(epoch)
@@ -261,7 +280,7 @@ def main():
             step += 1
             if step % args.log_every == 0:
                 logger.flush("train", epoch * len(train_loader) + step)
-            if preempted["flag"]:
+            if should_stop():
                 save_checkpoint(epoch - 1, tag="checkpoint")
                 logger.log("preemption checkpoint written; exiting")
                 return

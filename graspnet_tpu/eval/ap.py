@@ -171,8 +171,12 @@ def eval_frame(
 
 
 def _eval_worker_init():
-    """Pin spawned eval workers to the CPU backend (set before jax import)."""
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    """Pin spawned eval workers to the CPU backend (set before jax import).
+
+    Unconditional, not setdefault: the parent environment often exports
+    JAX_PLATFORMS (e.g. 'tpu'), and a worker inheriting it would fight the
+    parent for the exclusive accelerator lock — workers never need one."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 
 class GraspNetEval:

@@ -83,6 +83,6 @@ def process_local_batch_slice(global_batch_size: int) -> slice:
     i = jax.process_index()
     per = global_batch_size // n
     assert per * n == global_batch_size, (
-        f"global batch {global_batch_size} must divide process count {n}"
+        f"process count {n} must divide the global batch {global_batch_size}"
     )
     return slice(i * per, (i + 1) * per)

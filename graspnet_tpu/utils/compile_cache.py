@@ -24,7 +24,7 @@ def enable(path: str | None = None) -> str | None:
     """
     global _done
     env = os.environ.get("GRASPNET_COMPILE_CACHE")
-    if env == "off":
+    if env == "off" or os.environ.get("GRASPNET_TPU_NO_COMPILE_CACHE"):
         return None
     path = path or env or os.path.expanduser("~/.cache/graspnet_tpu/xla")
     if _done:

@@ -31,6 +31,9 @@ def main():
     rng = np.random.default_rng(0)
     cloud = jnp.asarray(rng.uniform(-0.5, 0.5, (1, cfg.num_point, 3)), jnp.float32)
     params = init_graspnet(jax.random.PRNGKey(0), cfg)
+    from graspnet_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     print(f"backend: {jax.default_backend()}")
 
     timeit("scan overhead baseline (x + 1)", lambda x: x + 1.0, cloud)

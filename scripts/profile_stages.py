@@ -45,6 +45,9 @@ def main():
     cloud = jnp.asarray(rng.uniform(-0.5, 0.5, (1, cfg.num_point, 3)), jnp.float32)
     params = init_graspnet(jax.random.PRNGKey(0), cfg)
 
+    from graspnet_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     print(f"backend: {jax.default_backend()}")
 
     # FPS variants

@@ -367,3 +367,40 @@ class TestRosHelpers:
         got = segment_cloud_by_mask(pts, mask, K)
         np.testing.assert_array_equal(got, pts[:1])
         assert segment_cloud_by_mask(np.zeros((0, 3), np.float32), mask, K) is None
+
+
+def test_pointcloud2_honors_field_offsets(rng):
+    """Standard padded PCL XYZRGB layout: x@0 y@4 z@8 rgb@16, step 32."""
+    from types import SimpleNamespace
+
+    from graspnet_tpu.apps.service import pointcloud2_to_xyz
+
+    n = 11
+    xyz = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    rgb888 = rng.integers(0, 255, (n, 3), dtype=np.uint32)
+    packed = (rgb888[:, 0] << 16) | (rgb888[:, 1] << 8) | rgb888[:, 2]
+    rows = np.zeros((n, 8), np.float32)  # 32-byte points
+    rows[:, 0:3] = xyz
+    rows[:, 4] = packed.astype(np.uint32).view(np.float32)
+    msg = SimpleNamespace(
+        data=rows.tobytes(),
+        point_step=32,
+        fields=[
+            SimpleNamespace(name="x", offset=0),
+            SimpleNamespace(name="y", offset=4),
+            SimpleNamespace(name="z", offset=8),
+            SimpleNamespace(name="rgb", offset=16),
+        ],
+    )
+    got_xyz, got_rgb = pointcloud2_to_xyz(msg)
+    np.testing.assert_array_equal(got_xyz, xyz)
+    np.testing.assert_allclose(got_rgb, rgb888.astype(np.float32) / 255.0)
+
+
+def test_empty_segmentation_rejects_all_grasps(tiny_service, rng):
+    """A provided-but-empty mask means the target is not visible: the
+    service must report failure, not fall back to unconstrained grasps."""
+    out = tiny_service.compute(
+        scene_cloud(rng), mask_points=np.zeros((0, 3), np.float32)
+    )
+    assert not out["ok"]
