@@ -297,6 +297,23 @@ def test_compact_two_phase_step_matches_full_step(rng):
     assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
 
 
+def test_compact_matches_full_fuzz_seeds():
+    """The bitwise compact==full invariant must hold across random scene
+    geometries, not just one draw (label matching picks different views /
+    objects per seed — each exercises different slab-gather paths)."""
+    cfg = GraspNetConfig.tiny()
+    for seed in (7, 23):
+        r = np.random.default_rng(seed)
+        full, compact = make_compact_batch(r, cfg, 2)
+        t_full = Trainer(cfg=cfg, tc=TrainConfig(), seed=seed)
+        t_comp = Trainer(cfg=cfg, tc=TrainConfig(), seed=seed)
+        t_full.set_epoch(0)
+        t_comp.set_epoch(0)
+        l1, _ = t_full.step(full)
+        l2, _ = t_comp.step_compact(compact)
+        assert float(np.asarray(l1)) == float(np.asarray(l2)), f"seed={seed}"
+
+
 def test_compact_prepare_pipeline_overlap(rng):
     """prepare(next) while the current step is in flight (the app's loop)."""
     cfg = GraspNetConfig.tiny()
