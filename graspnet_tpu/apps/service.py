@@ -103,7 +103,8 @@ class GraspService:
         c = self.cfg
         z = cloud[:, 2]
         cloud = cloud[(z >= c.depth_min) & (z <= c.depth_max)]
-        if len(cloud) < 100:
+        # reference demo.py:459 rejects frames with < 10% of num_point valid
+        if len(cloud) < max(100, self.pipe.cfg.num_point // 10):
             return {"ok": False, "error": "not enough points in depth range"}
         sampled = self.pipe.sample_cloud(cloud)
         gg = self.pipe.run(
@@ -454,6 +455,11 @@ def main():
         "grasp_service.py: synchronized points/mask/camera_info topics)",
     )
     p.add_argument("--collision_thresh", type=float, default=0.01)
+    p.add_argument(
+        "--num_point", type=int, default=20000,
+        help="points sampled per request (reference demo.py's ROS node "
+        "defaults to 40000; 20000 is the train/test operating point)",
+    )
     p.add_argument("--camera_link", default="camera_link")
     p.add_argument("--world_frame", default="world")
     p.add_argument("--max_world_z_for_approach", type=float, default=None)
@@ -461,6 +467,7 @@ def main():
     cfg = ServiceConfig(
         checkpoint_path=args.checkpoint_path,
         collision_thresh=args.collision_thresh,
+        num_point=args.num_point,
         max_world_z_for_approach=args.max_world_z_for_approach,
     )
     if args.ros_consumer:
