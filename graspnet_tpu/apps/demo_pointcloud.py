@@ -45,6 +45,7 @@ def main():
     p.add_argument("--z_min", type=float, default=None)
     p.add_argument("--z_max", type=float, default=None)
     p.add_argument("--top_k", type=int, default=100)
+    p.add_argument("--save_ply", default=None, help="export top-K gripper meshes + scene to one PLY")
     p.add_argument("--dump", default=None)
     args = p.parse_args()
 
@@ -72,6 +73,11 @@ def main():
         print("best grasp pose:\n", gg[0].to_matrix())
     if args.dump:
         gg.save_npy(args.dump)
+    if args.save_ply:
+        from graspnet_tpu.postproc.gripper import save_grasps_scene_ply
+
+        save_grasps_scene_ply(gg, cloud, args.save_ply)
+        print("saved:", args.save_ply)
 
 
 if __name__ == "__main__":

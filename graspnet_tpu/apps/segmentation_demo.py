@@ -69,6 +69,7 @@ def main():
     parser.add_argument("--collision_thresh", type=float, default=0.01)
     parser.add_argument("--seg_proximity_thresh", type=float, default=0.02)
     parser.add_argument("--top_k", type=int, default=50)
+    parser.add_argument("--save_ply", default=None, help="export top-K gripper meshes + scene to one PLY")
     parser.add_argument("--dump", default=None)
     args = parser.parse_args()
 
@@ -99,6 +100,11 @@ def main():
     if args.dump:
         gg.save_npy(args.dump)
         print("saved:", args.dump)
+    if args.save_ply:
+        from graspnet_tpu.postproc.gripper import save_grasps_scene_ply
+
+        save_grasps_scene_ply(gg, scene_cloud, args.save_ply)
+        print("saved:", args.save_ply)
 
 
 if __name__ == "__main__":

@@ -156,6 +156,19 @@ def to_open3d_geometry_list(gg):
     return [mesh_to_open3d(*m) for m in grasp_group_meshes(gg)]
 
 
+def save_grasps_scene_ply(gg, scene_cloud, path: str) -> None:
+    """One PLY with the gripper meshes AND the scene points (gray) — the
+    offline stand-in for the reference demos' open3d top-K visualization
+    (image_demo.py:235 et al.), viewable in any mesh viewer."""
+    meshes = grasp_group_meshes(gg)
+    if scene_cloud is not None and len(scene_cloud):
+        pts = np.asarray(scene_cloud, np.float32)
+        meshes = list(meshes) + [
+            (pts, np.zeros((0, 3), np.int32), np.array([0.6, 0.6, 0.6], np.float32))
+        ]
+    save_meshes_ply(meshes, path)
+
+
 def save_meshes_ply(meshes, path: str) -> None:
     """Write all gripper meshes into one ASCII PLY (viewable anywhere)."""
     all_v, all_t, all_c = [], [], []
