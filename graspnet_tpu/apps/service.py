@@ -39,10 +39,11 @@ class ServiceConfig:
     seg_proximity_thresh: float = 0.02  # reference grasp_service.py mask filter
     max_world_z_for_approach: Optional[float] = None  # world-frame approach gate
     top_k: int = 50
-    # fixed rotation offsets chained onto the published TF's rotation,
-    # R_final = R_raw · R(q1) · R(q2) (reference demo.py:220-224,616-623:
-    # 90° about the diagonal Y-like axis, then 90° about Z); translation
-    # stays raw.  Set to () to publish the raw grasp rotation.
+    # fixed rotation offsets (x, y, z, w quaternions) chained onto the
+    # published TF's rotation, R_final = R_raw · R(q1) · R(q2) (reference
+    # demo.py:220-224,616-623: q1 = 180° about the (1,0,1)/√2 XZ diagonal,
+    # q2 = 90° about Z); translation stays raw.  Set to () to publish the
+    # raw grasp rotation.
     tf_rotation_offsets: tuple = (
         (0.7071068, 0.0, 0.7071068, 0.0),
         (0.0, 0.0, 0.7071068, 0.7071068),
@@ -160,14 +161,38 @@ def pointcloud2_to_xyz(msg):
     bit-reinterpreted as uint32.  `msg` needs .data, .point_step and
     .fields — a real sensor_msgs PointCloud2 or any namespace shaped
     like one.
+
+    Layouts outside those assumptions are rejected up front instead of
+    decoding to garbage: big-endian messages, consumed fields with a
+    non-FLOAT32 datatype (e.g. a uint16 `ring` column is fine as long as
+    x/y/z/rgb are floats), and organized clouds whose rows carry padding
+    are all raised as ValueError (row padding is stripped per row first).
     """
+    if getattr(msg, "is_bigendian", False):
+        raise ValueError("big-endian PointCloud2 is not supported")
     cols = {}
     for i, f in enumerate(msg.fields):
+        if f.name in ("x", "y", "z", "rgb"):
+            dt = getattr(f, "datatype", 7)
+            if dt != 7:  # sensor_msgs PointField.FLOAT32
+                raise ValueError(
+                    f"field {f.name!r} has datatype {dt}, expected FLOAT32 (7)"
+                )
         off = getattr(f, "offset", None)
         cols[f.name] = (off if off is not None else 4 * i) // 4
-    cloud = np.frombuffer(bytes(msg.data), dtype=np.float32).reshape(
-        -1, msg.point_step // 4
-    )
+    data = bytes(msg.data)
+    height = getattr(msg, "height", 1)
+    width = getattr(msg, "width", None)
+    row_step = getattr(msg, "row_step", None)
+    if height > 1 and row_step and width and row_step != width * msg.point_step:
+        if row_step < width * msg.point_step or len(data) < height * row_step:
+            raise ValueError(
+                f"inconsistent PointCloud2 layout: row_step={row_step}, "
+                f"width*point_step={width * msg.point_step}"
+            )
+        rows = np.frombuffer(data, dtype=np.uint8)[: height * row_step]
+        data = rows.reshape(height, row_step)[:, : width * msg.point_step].tobytes()
+    cloud = np.frombuffer(data, dtype=np.float32).reshape(-1, msg.point_step // 4)
     xyz = cloud[:, [cols[c] for c in ("x", "y", "z")]]
     rgb = None
     if "rgb" in cols:

@@ -229,16 +229,25 @@ def main():
         except ValueError:  # not the main thread (e.g. under a test runner)
             break
 
-    def should_stop() -> bool:
-        """Per-step stop decision, agreed across processes.
+    # steps between cross-host preemption agreements: the allgather is a
+    # host-blocking collective that would defeat async dispatch / label-prep
+    # overlap if issued per step, and preemption grace periods are tens of
+    # seconds, so agreeing every N steps loses nothing
+    stop_check_every = 16
+
+    def should_stop(step: int) -> bool:
+        """Stop decision, agreed across processes.
 
         A signal can land at different step boundaries on different hosts;
         acting on the local flag alone would leave the others blocked in
-        the next step's collectives.  Every process calls the allgather
-        every step, so 'any host flagged' is decided consistently.
+        the next step's collectives.  All hosts share the same step counter,
+        so they issue the (throttled) allgather on the same steps and the
+        'any host flagged' decision is consistent.
         """
         if not multihost:
             return preempted["flag"]
+        if step % stop_check_every != 0:
+            return False
         from jax.experimental import multihost_utils
 
         flags = multihost_utils.process_allgather(
@@ -280,7 +289,7 @@ def main():
             step += 1
             if step % args.log_every == 0:
                 logger.flush("train", epoch * len(train_loader) + step)
-            if should_stop():
+            if should_stop(step):
                 save_checkpoint(epoch - 1, tag="checkpoint")
                 logger.log("preemption checkpoint written; exiting")
                 return

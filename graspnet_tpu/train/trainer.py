@@ -49,15 +49,27 @@ class TrainConfig:
 
 
 def weight_decay_mask(params):
-    """Torch-optimizer decay semantics: weight decay applies to parameters
-    (conv kernels/biases, BN scale/offset) but never to the BN running
-    mean/var buffers, which live inside the same pytree here but are not
-    nn.Parameters in the reference (train.py:85 Adam over net.parameters())."""
+    """Decay applies to parameters (conv kernels/biases, BN scale/offset) but
+    never to the BN running mean/var buffers, which live inside the same
+    pytree here but are not nn.Parameters in the reference (train.py:85
+    Adam over net.parameters())."""
     return jax.tree_util.tree_map_with_path(
         lambda path, _: not any(
             getattr(k, "key", None) in ("mean", "var") for k in path
         ),
         params,
+    )
+
+
+def adam_l2(learning_rate, weight_decay, mask=None):
+    """Adam with COUPLED L2 decay, matching torch optim.Adam(weight_decay=..)
+    (reference train.py:84): the wd*param term is added to the gradient
+    BEFORE the moment estimates, unlike optax.adamw's decoupled decay which
+    would diverge from the reference recipe at any nonzero --weight_decay."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay, mask),
+        optax.scale_by_adam(),  # torch defaults: b1=0.9, b2=0.999, eps=1e-8
+        optax.scale_by_learning_rate(learning_rate),
     )
 
 
@@ -131,7 +143,7 @@ class Trainer:
         )
         # mask must be static: inject_hyperparams would otherwise treat the
         # callable as an injectable hyperparam and silently drop it
-        self.tx = optax.inject_hyperparams(optax.adamw, static_args=("mask",))(
+        self.tx = optax.inject_hyperparams(adam_l2, static_args=("mask",))(
             learning_rate=tc.learning_rate,
             weight_decay=tc.weight_decay,
             mask=weight_decay_mask,

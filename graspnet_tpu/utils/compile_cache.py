@@ -14,25 +14,28 @@ from __future__ import annotations
 
 import os
 
-_done = False
+_configured: str | None = None  # the dir jax_compilation_cache_dir points at
 
 
 def enable(path: str | None = None) -> str | None:
     """Idempotently point jax at an on-disk compilation cache.
 
-    Returns the cache dir, or None when disabled/unavailable.
+    Returns the cache dir actually in effect, or None when disabled /
+    unavailable.  Calling again with a different explicit `path`
+    reconfigures jax to that dir (so the return value always reflects
+    jax_compilation_cache_dir, never a stale argument).
     """
-    global _done
+    global _configured
     env = os.environ.get("GRASPNET_COMPILE_CACHE")
     if env == "off" or os.environ.get("GRASPNET_TPU_NO_COMPILE_CACHE"):
         return None
-    path = path or env or os.path.expanduser("~/.cache/graspnet_tpu/xla")
-    if _done:
-        return path
+    path = path or env or _configured or os.path.expanduser("~/.cache/graspnet_tpu/xla")
+    if _configured is not None and path == _configured:
+        return _configured
     try:
         import jax
 
-        if env is None and jax.default_backend() == "cpu":
+        if env is None and _configured is None and jax.default_backend() == "cpu":
             # CPU AOT cache entries embed exact machine features and can
             # SIGILL when reloaded on a different host; CPU compiles are
             # also fast enough not to need it.  Opt in explicitly via
@@ -43,7 +46,7 @@ def enable(path: str | None = None) -> str | None:
         # cache everything that took meaningful compile time
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        _done = True
+        _configured = path
         return path
     except Exception:
         return None

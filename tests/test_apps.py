@@ -332,6 +332,66 @@ class TestRosHelpers:
         np.testing.assert_array_equal(got_xyz, xyz)
         np.testing.assert_allclose(got_rgb, rgb888.astype(np.float32) / 255.0)
 
+    def test_pointcloud2_rejects_bigendian(self, rng):
+        from types import SimpleNamespace
+
+        from graspnet_tpu.apps.service import pointcloud2_to_xyz
+
+        msg = SimpleNamespace(
+            data=np.zeros((4, 3), np.float32).tobytes(),
+            point_step=12,
+            is_bigendian=True,
+            fields=[SimpleNamespace(name=c) for c in ("x", "y", "z")],
+        )
+        with pytest.raises(ValueError, match="big-endian"):
+            pointcloud2_to_xyz(msg)
+
+    def test_pointcloud2_rejects_nonfloat_xyz(self, rng):
+        from types import SimpleNamespace
+
+        from graspnet_tpu.apps.service import pointcloud2_to_xyz
+
+        fields = [
+            SimpleNamespace(name="x", datatype=7, offset=0),
+            SimpleNamespace(name="y", datatype=7, offset=4),
+            SimpleNamespace(name="z", datatype=4, offset=8),  # UINT16
+        ]
+        msg = SimpleNamespace(
+            data=np.zeros((4, 3), np.float32).tobytes(), point_step=12, fields=fields
+        )
+        with pytest.raises(ValueError, match="datatype"):
+            pointcloud2_to_xyz(msg)
+
+    def test_pointcloud2_strips_row_padding(self, rng):
+        """Organized cloud with row_step > width*point_step decodes the real
+        points and drops the per-row padding bytes."""
+        from types import SimpleNamespace
+
+        from graspnet_tpu.apps.service import pointcloud2_to_xyz
+
+        h, w = 3, 5
+        xyz = rng.uniform(-1, 1, (h, w, 3)).astype(np.float32)
+        pad = np.full((h, 2), np.nan, np.float32)  # 8 pad bytes per row
+        rows = np.concatenate([xyz.reshape(h, w * 3), pad], axis=1)
+        msg = SimpleNamespace(
+            data=rows.tobytes(),
+            point_step=12,
+            height=h,
+            width=w,
+            row_step=w * 12 + 8,
+            fields=[SimpleNamespace(name=c) for c in ("x", "y", "z")],
+        )
+        got_xyz, _ = pointcloud2_to_xyz(msg)
+        np.testing.assert_array_equal(got_xyz, xyz.reshape(-1, 3))
+        # inconsistent layout (row_step smaller than a row) raises
+        msg_bad = SimpleNamespace(
+            data=rows.tobytes(), point_step=12, height=h, width=w,
+            row_step=w * 12 - 4,
+            fields=[SimpleNamespace(name=c) for c in ("x", "y", "z")],
+        )
+        with pytest.raises(ValueError, match="row_step"):
+            pointcloud2_to_xyz(msg_bad)
+
     def test_pointcloud2_to_xyz_reordered_fields(self, rng):
         from types import SimpleNamespace
 

@@ -40,13 +40,17 @@ def test_device_trace_captures(tmp_path):
 def test_compile_cache_enable(tmp_path, monkeypatch):
     from graspnet_tpu.utils import compile_cache
 
-    monkeypatch.setattr(compile_cache, "_done", False)
+    monkeypatch.setattr(compile_cache, "_configured", None)
     monkeypatch.setenv("GRASPNET_COMPILE_CACHE", str(tmp_path / "xla"))
     path = compile_cache.enable()
     assert path == str(tmp_path / "xla") and os.path.isdir(path)
     assert jax.config.jax_compilation_cache_dir == path
     # idempotent + off switch
     assert compile_cache.enable() == path
-    monkeypatch.setattr(compile_cache, "_done", False)
+    # a different explicit path reconfigures rather than lying about the dir
+    other = str(tmp_path / "xla2")
+    assert compile_cache.enable(other) == other
+    assert jax.config.jax_compilation_cache_dir == other
+    monkeypatch.setattr(compile_cache, "_configured", None)
     monkeypatch.setenv("GRASPNET_COMPILE_CACHE", "off")
     assert compile_cache.enable() is None

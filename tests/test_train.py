@@ -357,3 +357,43 @@ def test_eval_step_uses_running_stat_bn(rng):
     ep2["objectness_label"] = dev["objectness_label"]
     loss2, _ = get_loss(ep2, cfg)
     assert float(np.asarray(eval_loss)) == float(np.asarray(loss2))
+
+
+def test_adam_l2_matches_torch_coupled_weight_decay(rng):
+    """adam_l2 == torch optim.Adam(weight_decay>0): the L2 term must enter
+    the gradient BEFORE the moment estimates (coupled), not as adamw's
+    decoupled post-scale decay (reference train.py:84)."""
+    from graspnet_tpu.train.trainer import adam_l2
+    import optax
+
+    lr, wd = 1e-3, 0.05
+    w0 = rng.normal(size=(4, 3)).astype(np.float32)
+    b0 = rng.normal(size=(3,)).astype(np.float32)
+    grads_seq = [
+        {
+            "w": rng.normal(size=(4, 3)).astype(np.float32),
+            "b": rng.normal(size=(3,)).astype(np.float32),
+        }
+        for _ in range(4)
+    ]
+
+    params = {"w": jnp.asarray(w0), "b": jnp.asarray(b0)}
+    tx = adam_l2(lr, wd)
+    state = tx.init(params)
+    for g in grads_seq:
+        updates, state = tx.update(
+            {"w": jnp.asarray(g["w"]), "b": jnp.asarray(g["b"])}, state, params
+        )
+        params = optax.apply_updates(params, updates)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    tb = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    opt = torch.optim.Adam([tw, tb], lr=lr, weight_decay=wd)
+    for g in grads_seq:
+        opt.zero_grad()
+        tw.grad = torch.from_numpy(g["w"].copy())
+        tb.grad = torch.from_numpy(g["b"].copy())
+        opt.step()
+
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["b"]), tb.detach().numpy(), atol=1e-6)
