@@ -108,12 +108,31 @@ def inference(args, cfg) -> None:
 
 
 def evaluate(args) -> None:
-    from graspnet_tpu.eval.ap import GraspNetEval
+    """AP eval + README-format table (reference README.md:94-109 layout:
+    AP | AP0.8 | AP0.4, with seen/similar/novel rows for the full split)."""
+    from graspnet_tpu.data.dataset import SPLITS
+    from graspnet_tpu.eval.ap import GraspNetEval, summarize
 
     ge = GraspNetEval(args.dataset_root, camera=args.camera, split=args.split)
-    res, ap = ge.eval_all(args.dump_dir, proc=args.num_workers)
+    res, _ = ge.eval_all(args.dump_dir, proc=args.num_workers)
     np.save(os.path.join(args.dump_dir, f"ap_{args.camera}.npy"), res)
-    print(f"AP {args.camera} {args.split}: {ap}")
+
+    def row(name, r):
+        s = summarize(r)
+        print(
+            f"{name:<14s} AP {s['AP']:6.2f} | AP0.8 {s['AP0.8']:6.2f} "
+            f"| AP0.4 {s['AP0.4']:6.2f}"
+        )
+
+    print(f"==== {args.camera} / {args.split} ====")
+    row(args.split, res)
+    if args.split == "test" and len(res):
+        # per-subsplit rows: res rows follow ge.evaluated_scenes order
+        ids = np.asarray([int(s.split("_")[1]) for s in ge.evaluated_scenes])
+        for sub in ("test_seen", "test_similar", "test_novel"):
+            mask = np.isin(ids, list(SPLITS[sub]))
+            if mask.any():
+                row(sub, res[mask])
 
 
 def main():

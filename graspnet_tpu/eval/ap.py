@@ -1,19 +1,36 @@
 """GraspNet AP evaluation over dumped per-frame grasp arrays.
 
-Implements the published GraspNet-1Billion protocol (the surface the
-reference consumes via graspnetAPI.GraspNetEval, test.py:110-114):
+Faithful re-derivation of the published GraspNet-1Billion protocol — the
+surface the reference consumes via graspnetAPI.GraspNetEval
+(reference test.py:110-114).  Per frame (graspnetAPI eval_grasp /
+GraspNetEval.eval_scene):
 
-  per frame: take the top-50 dumped grasps by score; reject grasps that
-  collide with the scene's composed model clouds; associate each survivor
-  with the nearest object model; score it by minimal force-closure friction
-  mu*; at friction mu a grasp is a true positive iff mu* <= mu.
+  1. grasp NMS, translation 0.03 m / rotation 30 deg;
+  2. assign each grasp to the object whose composed model cloud contains
+     the scene point nearest to the grasp center;
+  3. keep the top 10 grasps per object (by dump confidence), then apply the
+     global top-50 cut as a minimum-score threshold (the 50th best score
+     over the kept grasps);
+  4. binary gripper-volume collision check against the composed scene
+     (all posed models + the table slab): any point inside the left/right
+     finger or bottom volume -> collision, score -1; fewer than 10 scene
+     points between the jaws -> 'empty' grasp, score -1;
+  5. surviving grasps are scored in the OBJECT frame by the dexnet-style
+     force-closure metric (eval/force_closure.py): score = minimal passing
+     friction mu*, or -1;
+  6. accuracy matrix acc[k, f] = #(0 < score <= mu_f among the k+1 highest-
+     confidence grasps) / (k+1) for k = 0..49 and the 6 friction levels —
+     when fewer than k+1 grasps exist the full list is used with the same
+     k+1 denominator (missing grasps count against precision).
 
-  Precision@k(mu) over k = 1..50, AP_mu = mean_k, AP = mean over
-  mu in {0.2, ..., 1.2}.  eval_all returns per-scene, per-frame AP_mu arrays
-  (shape [scenes, 256, 6]) like graspnetAPI, plus the scalar AP.
+AP = mean over everything; AP0.8 / AP0.4 are the friction-0.8 / 0.4 column
+means (the README table layout, reference README.md:94-109).
 
 Object models load from root/models/{id:03d}/ as nontextured.ply or
-cloud.npz; normals are PCA-estimated once per object and cached.
+cloud.npz, voxel-sampled at 0.008; normals are PCA-estimated once per
+object and cached.  The table slab (1 m x 1 m x 0.05 m grid at 0.008,
+below z=0 in the table frame) enters the collision scene when the scene
+directory provides camera_poses.npy + cam0_wrt_table.npy.
 """
 
 from __future__ import annotations
@@ -26,11 +43,17 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from graspnet_tpu.data.dataset import SPLITS
-from graspnet_tpu.eval.force_closure import FRICTIONS, estimate_normals, grasp_scores
-from graspnet_tpu.postproc import GraspGroup, ModelFreeCollisionDetector
+from graspnet_tpu.eval.force_closure import FRICTIONS, estimate_normals, min_friction
 from graspnet_tpu.postproc.voxel import voxel_down_sample
 
 TOP_K = 50
+PER_OBJECT_TOP = 10  # graspnetAPI eval_grasp keeps 10 per object pre-cut
+EMPTY_THRESH = 10  # min scene points between the jaws
+DEPTH_BASE = 0.02  # gripper base extends this far behind the origin
+FINGER_WIDTH = 0.01
+MODEL_VOXEL = 0.008
+NMS_TRANSLATION = 0.03
+NMS_ROTATION = 30.0 / 180.0 * np.pi
 
 
 # --------------------------------------------------------------- models ----
@@ -71,7 +94,7 @@ def load_ply_points(path: str) -> np.ndarray:
         ).astype(np.float32)
 
 
-def load_model_cloud(root: str, obj_id: int, voxel_size: float = 0.008) -> np.ndarray:
+def load_model_cloud(root: str, obj_id: int, voxel_size: float = MODEL_VOXEL) -> np.ndarray:
     """Load + downsample an object model cloud."""
     base = os.path.join(root, "models", f"{obj_id:03d}")
     npz = os.path.join(base, "cloud.npz")
@@ -83,24 +106,90 @@ def load_model_cloud(root: str, obj_id: int, voxel_size: float = 0.008) -> np.nd
     return voxel_down_sample(pts, voxel_size)
 
 
+def create_table_points(
+    lx: float = 1.0,
+    ly: float = 1.0,
+    lz: float = 0.05,
+    dx: float = -0.5,
+    dy: float = -0.5,
+    dz: float = -0.05,
+    grid_size: float = MODEL_VOXEL,
+) -> np.ndarray:
+    """Table slab grid in the table frame (graspnetAPI create_table_points)."""
+    xs = np.arange(0, lx, grid_size) + dx
+    ys = np.arange(0, ly, grid_size) + dy
+    zs = np.arange(0, lz, grid_size) + dz
+    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+    return np.stack([gx, gy, gz], axis=-1).reshape(-1, 3).astype(np.float32)
+
+
 # ------------------------------------------------------------- protocol ----
 
 
-def precision_at_k(
-    scores: np.ndarray, positive: np.ndarray, top_k: int = TOP_K
-) -> np.ndarray:
-    """Precision@k curve for one friction level.
+def collision_and_empty(
+    grasps: np.ndarray, scene_points: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Binary gripper-volume collision + empty-jaw check per grasp.
 
-    scores: (M,) predicted grasp confidences (already sorted desc by caller or
-    not — we sort here); positive: (M,) bool ground-truth at this friction.
-    Frames with fewer than top_k grasps pad with negatives (missing grasps
-    count against precision, as in the official protocol).
+    Transcription of graspnetAPI eval_utils.collision_detection: in the
+    gripper frame the fingers span x in (-DEPTH_BASE, depth), the jaw gap
+    is width, fingers are FINGER_WIDTH thick, the slab |z| < height/2;
+    the bottom plate sits behind x = -DEPTH_BASE.  A grasp collides when
+    ANY scene point falls inside a finger/bottom volume (binary — unlike
+    the IoU-scored ModelFreeCollisionDetector used at dump time).
+
+    Returns (collision (M,), empty (M,), inner_centroid (M, 3)); the
+    centroid of the between-jaws points (gripper frame) seeds the dexnet
+    grasp center for scoring, as graspnetAPI does.
     """
-    order = np.argsort(-scores, kind="stable")[:top_k]
-    pos = positive[order].astype(np.float32)
-    pos = np.pad(pos, (0, top_k - len(pos)))
-    cum = np.cumsum(pos)
-    return cum / np.arange(1, top_k + 1)
+    m = len(grasps)
+    collision = np.zeros(m, dtype=bool)
+    empty = np.zeros(m, dtype=bool)
+    centroid = np.zeros((m, 3), dtype=np.float32)
+    for gi in range(m):
+        g = grasps[gi]
+        width, height, depth = g[1], g[2], g[3]
+        rot = g[4:13].reshape(3, 3)
+        t = g[13:16]
+        target = (scene_points - t) @ rot  # gripper frame
+        mask1 = (target[:, 2] > -height / 2) & (target[:, 2] < height / 2)
+        mask2 = (target[:, 0] > -DEPTH_BASE) & (target[:, 0] < depth)
+        mask3 = target[:, 1] > -(width / 2 + FINGER_WIDTH)
+        mask4 = target[:, 1] < -width / 2
+        mask5 = target[:, 1] < (width / 2 + FINGER_WIDTH)
+        mask6 = target[:, 1] > width / 2
+        mask7 = (target[:, 0] <= -DEPTH_BASE) & (
+            target[:, 0] > -(DEPTH_BASE + FINGER_WIDTH)
+        )
+        left = mask1 & mask2 & mask3 & mask4
+        right = mask1 & mask2 & mask5 & mask6
+        bottom = mask1 & mask3 & mask5 & mask7
+        inner = mask1 & mask2 & ~mask4 & ~mask6
+        collision[gi] = bool(np.any(left | right | bottom))
+        n_inner = int(np.sum(inner))
+        empty[gi] = n_inner < EMPTY_THRESH
+        if n_inner:
+            centroid[gi] = target[inner].mean(axis=0)
+    return collision, empty, centroid
+
+
+def accuracy_matrix(
+    score_list: np.ndarray, frictions: np.ndarray = FRICTIONS, top_k: int = TOP_K
+) -> np.ndarray:
+    """acc[k, f] = #(0 < score <= mu_f in the first k+1) / (k+1).
+
+    score_list must already be sorted by dump confidence descending; when
+    it is shorter than k+1 the whole list is used with the k+1 denominator
+    (graspnetAPI GraspNetEval.eval_scene's exact branch).
+    """
+    acc = np.zeros((top_k, len(frictions)), dtype=np.float32)
+    n = len(score_list)
+    for fi, fric in enumerate(frictions):
+        hit = (score_list <= fric) & (score_list > 0)
+        cum = np.cumsum(hit.astype(np.int64))
+        for k in range(top_k):
+            acc[k, fi] = (cum[-1] if k + 1 > n else cum[k]) / (k + 1) if n else 0.0
+    return acc
 
 
 def eval_frame(
@@ -108,66 +197,106 @@ def eval_frame(
     model_clouds: List[np.ndarray],
     model_normals: List[np.ndarray],
     poses: List[np.ndarray],
-    collision_thresh: float = 0.25,
-    voxel_size: float = 0.008,
+    table: Optional[np.ndarray] = None,
     apply_nms: bool = True,
 ) -> np.ndarray:
-    """AP_mu vector (len(FRICTIONS),) for one frame.
+    """(TOP_K, len(FRICTIONS)) accuracy matrix for one frame.
 
-    grasps: (M, 17) dumped array (camera frame). poses: per-object (3, 4)
-    model->camera transforms.  Grasp NMS (0.03 m / 30°) runs before the
-    top-50 cut, per the GraspNet-1Billion protocol ("top 50 grasps after
-    non-maximum suppression"); pass apply_nms=False to score raw dumps.
+    grasps: (M, 17) dumped array (camera frame); poses: per-object (3, 4)
+    model->camera transforms; table: optional (T, 3) table points already
+    in the camera frame.
     """
-    if len(grasps) == 0:
-        return np.zeros(len(FRICTIONS), dtype=np.float32)
+    zeros = np.zeros((TOP_K, len(FRICTIONS)), dtype=np.float32)
+    if len(grasps) == 0 or len(model_clouds) == 0:
+        return zeros
     if apply_nms:
         from graspnet_tpu.postproc.nms import grasp_nms
 
-        grasps = grasps[grasp_nms(grasps)]  # returns desc-score order
-    order = np.argsort(-grasps[:, 0], kind="stable")[:TOP_K]
-    g = grasps[order]
+        grasps = grasps[
+            grasp_nms(grasps, NMS_TRANSLATION, NMS_ROTATION)
+        ]  # returns desc-score order
 
-    # compose scene cloud from posed models; collision rejection
+    # ---- stage 2: assign each grasp to the object owning the nearest
+    # scene point (graspnetAPI: compute_closest_points vs the seg-masked
+    # composed scene) ----
     posed = [pts @ p[:3, :3].T + p[:3, 3] for pts, p in zip(model_clouds, poses)]
+    seg = np.concatenate(
+        [np.full(len(p), i, dtype=np.int32) for i, p in enumerate(posed)]
+    )
     scene = np.concatenate(posed, axis=0)
-    det = ModelFreeCollisionDetector(scene, voxel_size=voxel_size)
-    collision = det.detect(GraspGroup(g), approach_dist=0.05, collision_thresh=collision_thresh)
-
-    # associate grasps to nearest model (by center distance to model cloud)
-    centers = g[:, 13:16]
-    nearest_obj = np.zeros(len(g), dtype=np.int32)
-    best = np.full(len(g), np.inf)
-    for oi, pts in enumerate(posed):
-        step = 8192
-        dmin = np.full(len(g), np.inf)
-        for s in range(0, len(pts), step):
-            d = np.linalg.norm(centers[:, None, :] - pts[None, s : s + step, :], axis=-1)
-            dmin = np.minimum(dmin, d.min(axis=1))
+    centers = grasps[:, 13:16]
+    nearest = np.empty(len(grasps), dtype=np.int64)
+    best = np.full(len(grasps), np.inf)
+    step = 8192
+    for s in range(0, len(scene), step):
+        d = np.linalg.norm(centers[:, None, :] - scene[None, s : s + step, :], axis=-1)
+        arg = d.argmin(axis=1)
+        dmin = d[np.arange(len(grasps)), arg]
         upd = dmin < best
-        best = np.where(upd, dmin, best)
-        nearest_obj[upd] = oi
+        best[upd] = dmin[upd]
+        nearest[upd] = arg[upd] + s
+    model_to_grasp = seg[nearest]
 
-    # force-closure score per grasp against its object (in model frame)
-    mu_star = np.full(len(g), np.inf, dtype=np.float32)
+    # ---- stage 3: top-10 per object, then global top-50 min-score cut ----
+    pre_per_obj: List[np.ndarray] = []
     for oi in range(len(posed)):
-        sel = np.nonzero(nearest_obj == oi)[0]
-        if len(sel) == 0:
-            continue
-        # transform grasps into the model frame: R_m = P^T R, t_m = P^T (t - p)
-        P, tp = poses[oi][:3, :3], poses[oi][:3, 3]
-        gm = g[sel].copy()
-        gm[:, 13:16] = (gm[:, 13:16] - tp) @ P
-        R = gm[:, 4:13].reshape(-1, 3, 3)
-        gm[:, 4:13] = np.einsum("ij,njk->nik", P.T, R).reshape(-1, 9)
-        s = grasp_scores(model_clouds[oi], model_normals[oi], gm)
-        mu_star[sel] = np.where(s > 0, 1.1 - s, np.inf)
+        gi = grasps[model_to_grasp == oi]
+        gi = gi[np.argsort(-gi[:, 0], kind="stable")][:PER_OBJECT_TOP]
+        pre_per_obj.append(gi)
+    all_kept = np.concatenate(pre_per_obj, axis=0)
+    if len(all_kept) == 0:
+        return zeros
+    order = np.argsort(-all_kept[:, 0], kind="stable")
+    min_score = all_kept[order[min(TOP_K - 1, len(order) - 1)], 0]
+    kept_per_obj = [g[g[:, 0] >= min_score] for g in pre_per_obj]
 
-    ap_mu = np.zeros(len(FRICTIONS), dtype=np.float32)
-    for fi, mu in enumerate(FRICTIONS):
-        positive = (~collision) & (mu_star <= mu + 1e-6)
-        ap_mu[fi] = precision_at_k(g[:, 0], positive).mean()
-    return ap_mu
+    # ---- stages 4+5: collision/empty then force-closure scoring ----
+    coll_scene = scene if table is None else np.concatenate([scene, table], axis=0)
+    rows, scores = [], []
+    for oi, g in enumerate(kept_per_obj):
+        if len(g) == 0:
+            continue
+        coll, empty, inner_c = collision_and_empty(g, coll_scene)
+        p_rot, p_t = poses[oi][:3, :3], poses[oi][:3, 3]
+        for gi in range(len(g)):
+            rows.append(g[gi])
+            if coll[gi] or empty[gi]:
+                scores.append(-1.0)
+                continue
+            rot = g[gi, 4:13].reshape(3, 3)
+            # dexnet grasp in the OBJECT frame: center = inner-point
+            # centroid, closing axis = gripper y column
+            center_cam = g[gi, 13:16] + rot @ inner_c[gi]
+            center_obj = (center_cam - p_t) @ p_rot
+            axis_obj = p_rot.T @ rot[:, 1]
+            scores.append(
+                min_friction(
+                    model_clouds[oi], model_normals[oi],
+                    center_obj.astype(np.float32), axis_obj.astype(np.float32),
+                    float(g[gi, 1]),
+                )
+            )
+    if not rows:
+        return zeros
+    rows = np.stack(rows)
+    scores = np.asarray(scores, dtype=np.float32)
+
+    # ---- stage 6: sort by dump confidence, accuracy matrix ----
+    order = np.argsort(-rows[:, 0], kind="stable")
+    return accuracy_matrix(scores[order])
+
+
+def summarize(res: np.ndarray) -> Dict[str, float]:
+    """AP / AP0.8 / AP0.4 from stacked (..., TOP_K, 6) accuracy matrices."""
+    if res.size == 0:
+        return {"AP": 0.0, "AP0.8": 0.0, "AP0.4": 0.0}
+    f08 = int(np.argmin(np.abs(FRICTIONS - 0.8)))
+    f04 = int(np.argmin(np.abs(FRICTIONS - 0.4)))
+    return {
+        "AP": float(res.mean()) * 100.0,
+        "AP0.8": float(res[..., f08].mean()) * 100.0,
+        "AP0.4": float(res[..., f04].mean()) * 100.0,
+    }
 
 
 def _eval_worker_init():
@@ -195,11 +324,22 @@ class GraspNetEval:
             self._model_cache[obj_id] = (pts, estimate_normals(pts))
         return self._model_cache[obj_id]
 
+    def _tables(self, base: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """(camera_poses (F,4,4), cam0_wrt_table (4,4)) when available."""
+        cp = os.path.join(base, "camera_poses.npy")
+        al = os.path.join(base, "cam0_wrt_table.npy")
+        if os.path.exists(cp) and os.path.exists(al):
+            return np.load(cp), np.load(al)
+        return None
+
     def eval_scene(self, scene: str, dump_dir: str) -> np.ndarray:
+        """(frames, TOP_K, 6) accuracy matrices for one scene."""
         import scipy.io as scio
 
         base = os.path.join(self.root, "scenes", scene, self.camera)
         frame_files = sorted(os.listdir(os.path.join(dump_dir, scene, self.camera)))
+        table_base = create_table_points()
+        pose_info = self._tables(base)
         out = []
         for ff in frame_files:
             frame = int(os.path.splitext(ff)[0])
@@ -212,15 +352,26 @@ class GraspNetEval:
                 pts, nrm = self._model(int(o) - 1)  # label ids are 1-based
                 clouds.append(pts)
                 normals.append(nrm)
-            out.append(eval_frame(grasps, clouds, normals, poses))
-        return np.stack(out) if out else np.zeros((0, len(FRICTIONS)), np.float32)
+            table = None
+            if pose_info is not None:
+                cam_poses, align = pose_info
+                t_cam = np.linalg.inv(align @ cam_poses[frame])
+                table = table_base @ t_cam[:3, :3].T + t_cam[:3, 3]
+            out.append(eval_frame(grasps, clouds, normals, poses, table=table))
+        return (
+            np.stack(out)
+            if out
+            else np.zeros((0, TOP_K, len(FRICTIONS)), np.float32)
+        )
 
     def eval_all(self, dump_dir: str, proc: int = 8):
+        """Returns (res (scenes, frames, TOP_K, 6), AP in [0, 1])."""
         scenes = [
             s
             for s in self.scene_ids
             if os.path.isdir(os.path.join(dump_dir, s, self.camera))
         ]
+        self.evaluated_scenes = scenes  # row order of the returned res
         if proc <= 1 or len(scenes) <= 1:
             results = [self.eval_scene(s, dump_dir) for s in scenes]
         else:
@@ -240,6 +391,10 @@ class GraspNetEval:
                 results = list(
                     pool.map(self.eval_scene, scenes, [dump_dir] * len(scenes))
                 )
-        res = np.stack(results) if results else np.zeros((0, 0, len(FRICTIONS)))
+        res = (
+            np.stack(results)
+            if results
+            else np.zeros((0, 0, TOP_K, len(FRICTIONS)))
+        )
         ap = float(res.mean()) if res.size else 0.0
         return res, ap

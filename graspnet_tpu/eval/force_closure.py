@@ -1,16 +1,35 @@
-"""Force-closure grasp scoring against object point clouds.
+"""Dexnet-style force-closure grasp scoring against object point clouds.
 
-Equivalent of the dexnet quasi-static point-contact metric the graspnetAPI
-evaluator uses (quality_method='force_closure'): a parallel-jaw grasp is in
-force closure at friction mu iff the jaw closing line lies inside both
-contact friction cones:
+Re-derivation of the quality path the official graspnetAPI evaluator runs
+(used by the reference at test.py:110-114): dexnet's quasi-static
+point-contact 'force_closure' metric on a ParallelJawPtGrasp3D.
 
-    |angle(closing_axis, n_i)| <= arctan(mu)   for both contacts i
+Stages, mirroring dexnet/graspnetAPI semantics:
 
-Normals come from local-PCA estimation (unoriented, so the test uses
-|cos|).  Contacts are the extreme points along the closing axis inside the
-jaw volume.  Returns the minimal passing mu so the caller can threshold at
-any friction level.
+1. **Contact search** (dexnet ParallelJawPtGrasp3D.close_fingers): each jaw
+   marches along the closing line (through the grasp center, direction =
+   the gripper y axis / 'binormal') from its open position toward the
+   center; the contact is the FIRST surface crossing.  dexnet finds the
+   crossing on a signed-distance field; the point-cloud analogue here takes
+   the candidate points inside a thin tube around the closing line and
+   picks, per jaw, the candidate nearest to that jaw along the line.
+2. **Contact normals**: dexnet reads the SDF gradient; here they are local
+   k-NN-PCA normals estimated once per model (unoriented — see below).
+3. **Force-closure test** (dexnet PointGraspMetrics3D.force_closure with
+   use_abs_value=True, the graspnetAPI configuration): force closure at
+   friction mu iff, for BOTH contacts, the line between the contacts lies
+   inside the contact's friction cone:
+
+       |cos(angle(c_other - c_i, n_i))| >= 1 / sqrt(1 + mu^2)
+
+   use_abs_value makes the test orientation-free, so the unoriented PCA
+   normals match dexnet's oriented SDF gradients exactly.
+4. **Score -> mu mapping** (graspnetAPI eval_utils.get_grasp_score): the
+   returned quality is the MINIMAL friction coefficient in the candidate
+   list at which the grasp is in force closure, or -1 if it never is
+   (graspnetAPI scans the list descending and returns the value before the
+   first failure — identical to the ascending minimal-pass scan used here,
+   since the cone test is monotone in mu).
 """
 
 from __future__ import annotations
@@ -19,7 +38,12 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+# the official evaluation friction ladder (GraspNet-1Billion protocol)
 FRICTIONS = np.array([0.2, 0.4, 0.6, 0.8, 1.0, 1.2], dtype=np.float32)
+
+# point-cloud analogue of dexnet's line-of-action sampling: candidate
+# contacts must lie within this radial distance of the closing line
+CONTACT_TUBE_RADIUS = 0.005
 
 
 def estimate_normals(points: np.ndarray, k: int = 16, chunk: int = 1024) -> np.ndarray:
@@ -54,74 +78,83 @@ def estimate_normals(points: np.ndarray, k: int = 16, chunk: int = 1024) -> np.n
     return vecs[:, :, 0]  # (n, 3)
 
 
-def find_contacts(
+def antipodal_contacts(
     model_points: np.ndarray,
-    grasp: np.ndarray,
-    finger_tol: float = 0.004,
+    center: np.ndarray,
+    axis: np.ndarray,
+    width: float,
+    tube_radius: float = CONTACT_TUBE_RADIUS,
 ) -> Optional[Tuple[int, int]]:
-    """Contact point indices for a grasp against a model cloud (model frame
-    already == grasp's world frame).
+    """Per-jaw first-crossing contact search along the closing line.
 
-    grasp: one 17-float row. The jaw volume in the gripper frame is
-    x in [depth - finger_length, depth], |y| <= width/2 + tol, |z| <= height/2
-    (the decoder's gripper geometry, postproc/collision.py). Contacts are the
-    min-y / max-y points in the volume (where the closing jaws first touch).
+    Args:
+      model_points: (N, 3) object cloud, same frame as center/axis.
+      center: (3,) a point on the closing line (dexnet grasp center — the
+        graspnetAPI evaluator uses the centroid of the points between the
+        jaws, see ap.py).
+      axis: (3,) unit closing direction (gripper y / dexnet binormal).
+      width: jaw opening; the jaws start at center ± width/2 * axis.
+
+    Returns (i_minus, i_plus) indices: the contact reached first by the jaw
+    marching from -width/2 upward, and by the jaw from +width/2 downward.
+    None when no candidate lies between the jaws (dexnet close_fingers
+    failure -> quality -1).
     """
-    width, height, depth = grasp[1], grasp[2], grasp[3]
-    R = grasp[4:13].reshape(3, 3)
-    t = grasp[13:16]
-    local = (model_points - t) @ R  # rows in gripper frame
-    finger_length = 0.06
-    inside = (
-        (local[:, 0] > depth - finger_length)
-        & (local[:, 0] < depth)
-        & (np.abs(local[:, 1]) < width / 2 + finger_tol)
-        & (np.abs(local[:, 2]) < height / 2)
-    )
-    idx = np.nonzero(inside)[0]
-    if len(idx) < 2:
+    rel = model_points - center
+    s = rel @ axis  # signed position along the closing line
+    radial2 = np.einsum("ij,ij->i", rel, rel) - s * s
+    half = width / 2
+    cand = (radial2 <= tube_radius * tube_radius) & (s >= -half) & (s <= half)
+    idx = np.nonzero(cand)[0]
+    if len(idx) == 0:
         return None
-    ys = local[idx, 1]
-    return int(idx[np.argmin(ys)]), int(idx[np.argmax(ys)])
+    sv = s[idx]
+    i_minus = int(idx[np.argmin(sv)])  # first surface seen from the -jaw
+    i_plus = int(idx[np.argmax(sv)])  # first surface seen from the +jaw
+    if i_minus == i_plus:
+        return None  # dexnet force_closure rejects coincident contacts
+    return i_minus, i_plus
 
 
-def force_closure_min_friction(
-    model_points: np.ndarray,
-    normals: np.ndarray,
-    grasp: np.ndarray,
-    frictions: np.ndarray = FRICTIONS,
-) -> float:
-    """Minimal friction coefficient at which the grasp achieves force
-    closure, or inf if it never does (incl. no contacts)."""
-    contacts = find_contacts(model_points, grasp)
-    if contacts is None:
-        return float("inf")
-    i, j = contacts
-    axis = model_points[j] - model_points[i]
-    norm = np.linalg.norm(axis)
+def force_closure_2pt(
+    p1: np.ndarray, n1: np.ndarray, p2: np.ndarray, n2: np.ndarray, mu: float
+) -> bool:
+    """dexnet PointGraspMetrics3D.force_closure (2-contact, use_abs_value).
+
+    True iff the contact line lies inside both friction cones:
+    for each contact, |cos(angle(other - this, n_this))| >= cos(arctan mu).
+    """
+    diff = p2 - p1
+    norm = float(np.linalg.norm(diff))
     if norm < 1e-9:
-        return float("inf")
-    axis = axis / norm
-    cos1 = abs(float(normals[i] @ axis))
-    cos2 = abs(float(normals[j] @ axis))
-    cos_min = min(cos1, cos2)
-    for mu in frictions:
-        # inside friction cone: angle <= arctan(mu) <=> cos >= 1/sqrt(1+mu^2)
-        if cos_min >= 1.0 / np.sqrt(1.0 + mu * mu):
-            return float(mu)
-    return float("inf")
+        return False
+    cos_thresh = 1.0 / np.sqrt(1.0 + mu * mu)
+    c1 = abs(float(n1 @ diff)) / (norm * float(np.linalg.norm(n1)))
+    c2 = abs(float(n2 @ diff)) / (norm * float(np.linalg.norm(n2)))
+    return c1 >= cos_thresh and c2 >= cos_thresh
 
 
-def grasp_scores(
+def min_friction(
     model_points: np.ndarray,
     normals: np.ndarray,
-    grasps: np.ndarray,
+    center: np.ndarray,
+    axis: np.ndarray,
+    width: float,
     frictions: np.ndarray = FRICTIONS,
-) -> np.ndarray:
-    """Score each grasp as 1.1 - mu_min (graspnetAPI convention: higher is
-    better, 0 for never-closing grasps)."""
-    out = np.zeros(len(grasps), dtype=np.float32)
-    for g in range(len(grasps)):
-        mu = force_closure_min_friction(model_points, normals, grasps[g], frictions)
-        out[g] = 0.0 if np.isinf(mu) else 1.1 - mu
-    return out
+    tube_radius: float = CONTACT_TUBE_RADIUS,
+) -> float:
+    """Minimal friction in `frictions` with force closure, else -1.
+
+    This is graspnetAPI's get_grasp_score contract: score_list carries mu*
+    values, -1 for grasps that never close (incl. contact-search failure).
+    """
+    contacts = antipodal_contacts(model_points, center, axis, width, tube_radius)
+    if contacts is None:
+        return -1.0
+    i, j = contacts
+    for mu in frictions:
+        if force_closure_2pt(
+            model_points[i], normals[i], model_points[j], normals[j], float(mu)
+        ):
+            return float(mu)
+    return -1.0

@@ -209,9 +209,22 @@ class Trainer:
             )
             return ep["grasp_top_view_inds"]
 
+        @jax.jit
+        def _grad_step(params, batch):
+            def loss_fn(p):
+                ep = graspnet_forward(
+                    p, batch["point_clouds"], cfg_, train=True, labels=batch
+                )
+                ep["objectness_label"] = batch["objectness_label"]
+                loss, _ = get_loss(ep, cfg_)
+                return loss
+
+            return jax.value_and_grad(loss_fn)(params)
+
         self._train_step = _train_step
         self._eval_step = _eval_step
         self._stage1_top_view = _stage1_top_view
+        self._grad_step = _grad_step
 
     # -- epoch-level schedule handling ------------------------------------
     def set_epoch(self, epoch: int) -> None:
@@ -278,8 +291,8 @@ class Trainer:
         )
         return device_small, ctxs, top
 
-    def step_prepared(self, handle):
-        """Phase 2: finalize matched labels on host, run the full step."""
+    def _finalize_batch(self, handle):
+        """Phase 2 host work: matched labels + global u_max -> device batch."""
         from graspnet_tpu.train.label_pipeline import finalize_scene_labels
 
         device_small, ctxs, top = handle
@@ -309,6 +322,11 @@ class Trainer:
         labels["label_u_max"] = u_max
         device_batch = dict(device_small)
         device_batch.update(shard_batch(self.mesh, labels))
+        return device_batch
+
+    def step_prepared(self, handle):
+        """Phase 2: finalize matched labels on host, run the full step."""
+        device_batch = self._finalize_batch(handle)
         momentum = bn_momentum_at_epoch(self.tc, self.epoch)
         self.params, self.opt_state, loss, metrics = self._train_step(
             self.params, self.opt_state, device_batch, jnp.float32(momentum)
@@ -318,6 +336,17 @@ class Trainer:
     def step_compact(self, batch):
         """Compact two-phase step (see label_pipeline compact path)."""
         return self.step_prepared(self.prepare(batch))
+
+    def grads_compact(self, batch):
+        """(loss, grads) on a compact batch WITHOUT mutating trainer state.
+
+        Diagnostic probe used by scripts/multiproc_check.py: gradients are
+        the cleanest cross-process invariant — a shard-ordering or u_max
+        bug shifts them by O(1) while collective reduction-order noise
+        stays at float epsilon (Adam would amplify the latter into
+        lr-scale parameter diffs, masking the distinction)."""
+        device_batch = self._finalize_batch(self.prepare(batch))
+        return self._grad_step(self.params, device_batch)
 
     def eval_step(self, batch):
         device_batch = batch if self._on_device(batch) else self.put(batch)

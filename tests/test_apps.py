@@ -34,6 +34,7 @@ def scene_cloud(rng, n=3000):
 
 
 class TestPipeline:
+    @pytest.mark.slow
     def test_run_returns_grasps(self, rng):
         cfg = GraspNetConfig.tiny()
         pipe = GraspPipeline(cfg=cfg, seed=0)
@@ -185,6 +186,7 @@ class TestIO:
 
 
 class TestBatchedInference:
+    @pytest.mark.slow
     def test_batch_matches_per_frame(self, rng):
         cfg = GraspNetConfig.tiny()
         pipe = GraspPipeline(cfg=cfg, seed=0)
@@ -262,6 +264,7 @@ def test_generate_tolerance_cli(tmp_path, monkeypatch):
     np.testing.assert_array_equal(out, want)
 
 
+@pytest.mark.slow
 def test_pipeline_fused_topk_matches_host_path(rng):
     """run() fused device path == get_grasps + sort + nms + top-K."""
     from graspnet_tpu.apps.pipeline import GraspPipeline

@@ -127,6 +127,7 @@ def test_tar_roundtrip(rng, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_orbax_roundtrip(tmp_path):
     cfg = GraspNetConfig.tiny()
     params = init_graspnet(jax.random.PRNGKey(0), cfg)

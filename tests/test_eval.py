@@ -1,16 +1,34 @@
-"""AP evaluator tests: force closure geometry, precision math, PLY IO."""
+"""AP evaluator tests: every protocol stage pinned by hand-computed fixtures.
 
-import os
+The official graspnetAPI evaluator (and the GraspNet-1B dataset models it
+scores against) are absent from this environment, so each stage of the
+re-derived protocol (eval/ap.py docstring) is pinned independently with
+synthetic geometry whose expected outcome is computable by hand:
+selection (per-object top-10 + global top-50 min-score cut), the binary
+gripper-volume collision + empty-jaw check, the dexnet-style antipodal
+contact search / force-closure test / score->mu mapping, and the exact
+accuracy-matrix formula including its short-list branch.
+"""
 
 import numpy as np
 import pytest
 
 from graspnet_tpu.eval import (
+    FRICTIONS,
+    accuracy_matrix,
+    antipodal_contacts,
+    collision_and_empty,
     estimate_normals,
-    find_contacts,
-    force_closure_min_friction,
+    eval_frame,
+    force_closure_2pt,
+    min_friction,
+    summarize,
 )
-from graspnet_tpu.eval.ap import eval_frame, load_ply_points, precision_at_k
+from graspnet_tpu.eval.ap import (
+    TOP_K,
+    create_table_points,
+    load_ply_points,
+)
 from graspnet_tpu.models.geometry import batch_viewpoint_params_to_matrix
 
 import jax.numpy as jnp
@@ -48,60 +66,205 @@ class TestNormals:
         assert np.median(cos) > 0.98
 
 
-class TestForceClosure:
-    def test_sphere_center_grasp_closes(self):
-        """A grasp centered on a sphere closes at low friction (antipodal)."""
-        pts = make_sphere()
-        normals = estimate_normals(pts, k=12)
-        # approach along +x toward the center, fingers span the sphere
-        g = make_grasp(center=[-0.045, 0, 0], approach=[1, 0, 0], width=0.08, depth=0.05)
-        mu = force_closure_min_friction(pts, normals, g)
-        assert mu <= 0.4, mu
+class TestForceClosure2pt:
+    """Hand-computed fixtures for the dexnet force_closure transcription."""
 
-    def test_tangential_grasp_fails_or_high_friction(self):
-        """Fingers closing along a surface tangent need much more friction."""
-        pts = make_sphere()
-        normals = estimate_normals(pts, k=12)
-        # grasp far off-center: contacts near the pole, normals nearly
-        # perpendicular to the closing line
-        g = make_grasp(center=[-0.04, 0.0, 0.028], approach=[1, 0, 0], width=0.03, depth=0.045)
-        mu = force_closure_min_friction(pts, normals, g)
-        center_mu = force_closure_min_friction(
-            pts, normals, make_grasp([-0.045, 0, 0], [1, 0, 0], 0.08, 0.05)
+    def test_perfect_antipodal_closes_at_min_friction(self):
+        p1, p2 = np.array([0.0, -0.01, 0]), np.array([0.0, 0.01, 0])
+        n = np.array([0.0, 1.0, 0.0])  # normals along the contact line
+        assert force_closure_2pt(p1, n, p2, n, 0.2)
+
+    def test_exact_cone_boundary(self):
+        """Contact line at exactly arctan(mu) from the normal: inside the
+        cone at that mu (>=), outside at any smaller mu."""
+        mu = 0.6
+        # normal along y; contact line tilted by alpha = arctan(mu) from y
+        alpha = np.arctan(mu)
+        d = np.array([np.sin(alpha), np.cos(alpha), 0.0])
+        p1 = np.zeros(3)
+        p2 = 0.02 * d
+        n = np.array([0.0, 1.0, 0.0])
+        assert force_closure_2pt(p1, n, p2, n, mu + 1e-6)
+        assert not force_closure_2pt(p1, n, p2, n, 0.4)
+
+    def test_orientation_free(self):
+        """use_abs_value semantics: flipping either normal changes nothing."""
+        p1, p2 = np.array([0.0, -0.01, 0]), np.array([0.0, 0.01, 0])
+        n = np.array([0.0, 1.0, 0.0])
+        assert force_closure_2pt(p1, -n, p2, n, 0.2)
+        assert force_closure_2pt(p1, n, p2, -n, 0.2)
+
+    def test_coincident_contacts_fail(self):
+        p = np.array([0.0, 0.0, 0.0])
+        n = np.array([0.0, 1.0, 0.0])
+        assert not force_closure_2pt(p, n, p, n, 1.2)
+
+
+class TestAntipodalContacts:
+    def test_first_crossing_per_jaw(self):
+        """A two-wall box slice: each jaw must contact ITS nearest wall,
+        not the extreme point of the union (the old extreme-y heuristic
+        breaks when a third surface sits between the fingers)."""
+        # walls at y = ±0.01, plus an inner ridge at y = 0.004
+        wall = np.array(
+            [[0.0, -0.01, 0.0], [0.0, 0.01, 0.0], [0.0, 0.004, 0.0]], np.float32
         )
-        assert mu > center_mu
+        c = antipodal_contacts(wall, np.zeros(3), np.array([0, 1, 0.0]), width=0.04)
+        assert c == (0, 1)
 
-    def test_no_contact_returns_inf(self):
+    def test_candidates_limited_to_tube(self):
+        pts = np.array(
+            [[0.0, -0.01, 0.0], [0.0, 0.01, 0.02]], np.float32
+        )  # second point 2 cm off the closing line
+        c = antipodal_contacts(pts, np.zeros(3), np.array([0, 1, 0.0]), width=0.04)
+        assert c is None  # one candidate only -> coincident -> None
+
+    def test_outside_jaw_span_ignored(self):
+        pts = np.array([[0.0, -0.05, 0.0], [0.0, 0.05, 0.0]], np.float32)
+        c = antipodal_contacts(pts, np.zeros(3), np.array([0, 1, 0.0]), width=0.04)
+        assert c is None
+
+    def test_no_points_returns_none(self):
+        pts = np.zeros((0, 3), np.float32)
+        assert antipodal_contacts(pts, np.zeros(3), np.array([0, 1, 0.0]), 0.04) is None
+
+
+class TestMinFriction:
+    def test_score_is_minimal_passing_mu(self):
+        """Two flat plates tilted so closure first holds at mu=0.6 exactly
+        (score->mu mapping: minimal friction in the ladder that passes)."""
+        # plates at y=±0.01 with normals tilted 0.5 rad (tan 0.5 ≈ 0.546)
+        # from the closing line: arctan(0.4) ≈ 0.38 < 0.5 < arctan(0.6) ≈ 0.54
+        theta = 0.5
+        n_tilt = np.array([np.sin(theta), np.cos(theta), 0.0], np.float32)
+        pts = np.array([[0.0, -0.01, 0.0], [0.0, 0.01, 0.0]], np.float32)
+        normals = np.stack([n_tilt, n_tilt])
+        mu = min_friction(pts, normals, np.zeros(3), np.array([0, 1, 0.0]), 0.04)
+        assert mu == pytest.approx(0.6)
+
+    def test_never_closing_returns_minus_one(self):
+        """Normals perpendicular to the closing line: no closure at any mu
+        in the ladder (arctan(1.2) = 50° < 90°)."""
+        pts = np.array([[0.0, -0.01, 0.0], [0.0, 0.01, 0.0]], np.float32)
+        normals = np.array([[1.0, 0, 0], [1.0, 0, 0]], np.float32)
+        assert min_friction(pts, normals, np.zeros(3), np.array([0, 1, 0.0]), 0.04) == -1.0
+
+    def test_sphere_center_grasp_closes_cheaply(self):
         pts = make_sphere()
         normals = estimate_normals(pts, k=12)
-        g = make_grasp(center=[1.0, 1.0, 1.0], approach=[1, 0, 0])
-        assert np.isinf(force_closure_min_friction(pts, normals, g))
-
-    def test_contacts_opposite_sides(self):
-        pts = make_sphere()
-        g = make_grasp(center=[-0.045, 0, 0], approach=[1, 0, 0], width=0.08, depth=0.05)
-        c = find_contacts(pts, g)
-        assert c is not None
-        i, j = c
-        assert pts[i, 1] < 0 < pts[j, 1]
+        mu = min_friction(pts, normals, np.zeros(3), np.array([0, 1, 0.0]), 0.08)
+        assert 0 < mu <= 0.4
 
 
-class TestPrecision:
-    def test_all_positive(self):
-        p = precision_at_k(np.linspace(1, 0, 50), np.ones(50, bool))
-        np.testing.assert_allclose(p, 1.0)
+class TestCollisionAndEmpty:
+    def _grasp(self, width=0.04, depth=0.04):
+        return make_grasp([0, 0, 0], [1, 0, 0], width=width, depth=depth)[None]
 
-    def test_half(self):
-        scores = np.linspace(1, 0, 50)
-        positive = np.zeros(50, bool)
-        positive[::2] = True  # alternating from the top
-        p = precision_at_k(scores, positive)
-        assert abs(p[-1] - 0.5) < 0.02
-        assert p[0] == 1.0
+    def test_point_between_jaws_is_inner_not_collision(self):
+        pts = np.tile(np.array([[0.02, 0.0, 0.0]], np.float32), (12, 1))
+        coll, empty, cen = collision_and_empty(self._grasp(), pts)
+        assert not coll[0] and not empty[0]
+        np.testing.assert_allclose(cen[0], [0.02, 0, 0], atol=1e-6)
 
-    def test_short_list_pads_negative(self):
-        p = precision_at_k(np.ones(10), np.ones(10, bool))
-        assert p[9] == 1.0 and p[49] == pytest.approx(10 / 50)
+    def test_point_in_left_finger_collides(self):
+        # left finger occupies y in (-w/2-fw, -w/2) = (-0.03, -0.02)
+        pts = np.array([[0.02, -0.025, 0.0]], np.float32)
+        coll, _, _ = collision_and_empty(self._grasp(), pts)
+        assert coll[0]
+
+    def test_point_in_right_finger_collides(self):
+        pts = np.array([[0.02, 0.025, 0.0]], np.float32)
+        assert collision_and_empty(self._grasp(), pts)[0][0]
+
+    def test_point_behind_base_collides(self):
+        # bottom plate: x in (-0.03, -0.02], any y within the jaw+finger span
+        pts = np.array([[-0.025, 0.0, 0.0]], np.float32)
+        assert collision_and_empty(self._grasp(), pts)[0][0]
+
+    def test_point_outside_height_slab_ignored(self):
+        pts = np.array([[0.02, -0.025, 0.02]], np.float32)  # |z| > h/2 = 0.01
+        coll, empty, _ = collision_and_empty(self._grasp(), pts)
+        assert not coll[0] and empty[0]
+
+    def test_fewer_than_10_inner_points_is_empty(self):
+        pts = np.tile(np.array([[0.02, 0.0, 0.0]], np.float32), (9, 1))
+        _, empty, _ = collision_and_empty(self._grasp(), pts)
+        assert empty[0]
+
+
+class TestAccuracyMatrix:
+    def test_exact_formula(self):
+        """Hand-computed: scores (already confidence-sorted) =
+        [0.2, -1, 0.8, 1.2] -> acc[k, f] = #(0 < s <= mu_f in first k+1)/(k+1)."""
+        s = np.array([0.2, -1.0, 0.8, 1.2], np.float32)
+        acc = accuracy_matrix(s)
+        assert acc.shape == (TOP_K, len(FRICTIONS))
+        # k=0: first grasp only, mu*=0.2 -> hit at every friction level
+        np.testing.assert_allclose(acc[0], 1.0)
+        # k=1: [0.2, -1]: 1 hit / 2
+        np.testing.assert_allclose(acc[1], 0.5)
+        # k=2: [0.2, -1, 0.8]: at mu=0.2: 1/3; at 0.8: 2/3
+        assert acc[2, 0] == pytest.approx(1 / 3)
+        assert acc[2, 3] == pytest.approx(2 / 3)
+        # k=3: adds mu*=1.2: hits only at the 1.2 column
+        assert acc[3, 5] == pytest.approx(3 / 4)
+        assert acc[3, 4] == pytest.approx(2 / 4)
+
+    def test_short_list_branch_keeps_kplus1_denominator(self):
+        """k+1 > len(scores): the FULL list's hits over k+1 (graspnetAPI's
+        exact else-branch — missing grasps count against precision)."""
+        s = np.array([0.2, 0.2], np.float32)
+        acc = accuracy_matrix(s)
+        assert acc[1, 0] == pytest.approx(1.0)
+        assert acc[9, 0] == pytest.approx(2 / 10)
+        assert acc[TOP_K - 1, 0] == pytest.approx(2 / TOP_K)
+
+    def test_empty_scores(self):
+        np.testing.assert_array_equal(accuracy_matrix(np.zeros(0, np.float32)), 0)
+
+    def test_boundary_score_counts_at_its_own_friction(self):
+        """score <= fric uses the same float ladder, so mu*=0.6 counts at
+        the 0.6 column but not at 0.4."""
+        s = np.array([float(FRICTIONS[2])], np.float32)  # 0.6
+        acc = accuracy_matrix(s)
+        assert acc[0, 2] == 1.0 and acc[0, 1] == 0.0
+
+
+class TestSelection:
+    def test_per_object_top10_then_min_score_cut(self, rng):
+        """Two objects, 30 grasps each: per-object top-10 keeps 20 total,
+        all above the 50th-best threshold -> 20 scored rows, and the 20
+        SHOULD be the highest-confidence 10 of each object."""
+        sphere_a = make_sphere(rng=np.random.default_rng(1))
+        sphere_b = make_sphere(rng=np.random.default_rng(2))
+        normals_a = estimate_normals(sphere_a, k=12)
+        normals_b = estimate_normals(sphere_b, k=12)
+        pose_a = np.concatenate([np.eye(3, dtype=np.float32), [[0.0], [0.0], [0.4]]], 1)
+        pose_b = np.concatenate([np.eye(3, dtype=np.float32), [[0.3], [0.0], [0.4]]], 1)
+        grasps = []
+        for oi, cx in ((0, 0.0), (1, 0.3)):
+            for i in range(30):
+                a = 2 * np.pi * i / 30
+                d = np.array([np.cos(a), np.sin(a), 0.0], np.float32)
+                grasps.append(
+                    make_grasp(
+                        np.array([cx, 0, 0.4], np.float32) - 0.045 * d,
+                        d, 0.08, 0.05, score=1.0 - 0.001 * i - 0.3 * oi,
+                    )
+                )
+        grasps = np.stack(grasps)
+        acc = eval_frame(
+            grasps,
+            [sphere_a.astype(np.float32), sphere_b.astype(np.float32)],
+            [normals_a, normals_b],
+            [pose_a.astype(np.float32), pose_b.astype(np.float32)],
+            apply_nms=False,  # directions 12° apart would collapse under NMS
+        )
+        # exactly 20 rows scored: acc at k=19 > 0, and the k+1>20 branch
+        # freezes the hit count afterwards: acc[k] = hits/(k+1) decreasing
+        assert acc[19, -1] > 0
+        assert acc[20, -1] == pytest.approx(acc[19, -1] * 20 / 21)
+        assert acc[49, -1] == pytest.approx(acc[19, -1] * 20 / 50)
 
 
 class TestEvalFrame:
@@ -109,7 +272,9 @@ class TestEvalFrame:
         rng = np.random.default_rng(0)
         pts = make_sphere(rng=rng)
         normals = estimate_normals(pts, k=12)
-        pose = np.concatenate([np.eye(3, dtype=np.float32), np.array([[0.0], [0.0], [0.4]], np.float32)], 1)
+        pose = np.concatenate(
+            [np.eye(3, dtype=np.float32), np.array([[0.0], [0.0], [0.4]], np.float32)], 1
+        )
         # 10 antipodal grasps approaching the posed sphere from directions
         # 36° apart — outside the protocol NMS's 30° rotation threshold, so
         # all 10 survive the pre-top-50 NMS
@@ -124,9 +289,11 @@ class TestEvalFrame:
                 )
             )
         grasps = np.stack(grasps)
-        ap = eval_frame(grasps, [pts], [normals], [pose], collision_thresh=1e9)
-        # 10 of 50 slots filled with positives at most frictions
-        assert ap[-1] >= 10 / 50 * 0.5
+        acc = eval_frame(grasps, [pts], [normals], [pose])
+        # all 10 close cheaply; with the k+1 denominator the last row is
+        # bounded by 10/50
+        assert acc[9, -1] > 0.8
+        assert acc[-1, -1] >= 10 / 50 * 0.5
 
     def test_protocol_nms_collapses_duplicates(self):
         # co-located duplicates count ONCE after the protocol's NMS; raw
@@ -134,22 +301,66 @@ class TestEvalFrame:
         rng = np.random.default_rng(0)
         pts = make_sphere(rng=rng)
         normals = estimate_normals(pts, k=12)
-        pose = np.concatenate([np.eye(3, dtype=np.float32), np.array([[0.0], [0.0], [0.4]], np.float32)], 1)
+        pose = np.concatenate(
+            [np.eye(3, dtype=np.float32), np.array([[0.0], [0.0], [0.4]], np.float32)], 1
+        )
         grasps = np.stack(
             [
                 make_grasp([-0.045, 0.0, 0.4], [1, 0, 0], 0.08, 0.05, score=1.0 - 0.01 * i)
                 for i in range(10)
             ]
         )
-        ap_nms = eval_frame(grasps, [pts], [normals], [pose], collision_thresh=1e9)
-        ap_raw = eval_frame(
-            grasps, [pts], [normals], [pose], collision_thresh=1e9, apply_nms=False
+        acc_nms = eval_frame(grasps, [pts], [normals], [pose])
+        acc_raw = eval_frame(grasps, [pts], [normals], [pose], apply_nms=False)
+        assert acc_raw[9, -1] > acc_nms[9, -1] > 0.0
+
+    def test_table_points_cause_collision(self):
+        """A grasp whose fingers dip below the table plane is rejected when
+        the table slab is passed."""
+        rng = np.random.default_rng(0)
+        pts = make_sphere(rng=rng)
+        normals = estimate_normals(pts, k=12)
+        pose = np.concatenate(
+            [np.eye(3, dtype=np.float32), np.array([[0.0], [0.0], [0.028]], np.float32)], 1
         )
-        assert ap_raw[-1] > ap_nms[-1] > 0.0
+        # sphere sits just above z=0 'table'; sideways grasp at sphere
+        # center: fingers reach z in [-0.01, 0.01] around z=0.028 -> clear,
+        # but a grasp at z=0.005 pokes into the slab below z=0
+        table = create_table_points(0.4, 0.4, 0.02, dx=-0.2, dy=-0.2, dz=-0.02, grid_size=0.004)
+        g_low = make_grasp([-0.045, 0.0, 0.004], [1, 0, 0], 0.08, 0.05)[None]
+        acc_no_table = eval_frame(g_low, [pts], [normals], [pose])
+        acc_table = eval_frame(g_low, [pts], [normals], [pose], table=table)
+        assert acc_table.max() == 0.0
+        assert acc_no_table.max() >= 0.0  # sanity: runs without the table
 
     def test_empty(self):
-        ap = eval_frame(np.zeros((0, 17), np.float32), [], [], [])
-        np.testing.assert_array_equal(ap, 0)
+        acc = eval_frame(np.zeros((0, 17), np.float32), [], [], [])
+        np.testing.assert_array_equal(acc, 0)
+        assert acc.shape == (TOP_K, len(FRICTIONS))
+
+
+class TestSummarize:
+    def test_column_means(self):
+        res = np.zeros((2, TOP_K, len(FRICTIONS)), np.float32)
+        res[..., 3] = 0.5  # mu = 0.8 column
+        res[..., 1] = 0.25  # mu = 0.4 column
+        s = summarize(res)
+        assert s["AP0.8"] == pytest.approx(50.0)
+        assert s["AP0.4"] == pytest.approx(25.0)
+        assert s["AP"] == pytest.approx((0.5 + 0.25) / 6 * 100)
+
+    def test_empty(self):
+        assert summarize(np.zeros((0,)))["AP"] == 0.0
+
+
+class TestTablePoints:
+    def test_grid_bounds_and_spacing(self):
+        t = create_table_points()
+        assert t[:, 0].min() == pytest.approx(-0.5)
+        assert t[:, 2].max() <= 0.0 and t[:, 2].min() == pytest.approx(-0.05)
+        # grid spacing 0.008 along x
+        xs = np.unique(t[:, 0])
+        np.testing.assert_allclose(np.diff(xs), 0.008, atol=1e-6)
 
 
 class TestPLY:

@@ -10,6 +10,8 @@ bumps but not semantic changes.
 
 import os
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -38,6 +40,7 @@ def _run():
     return np.asarray(rows[0]), np.asarray(vmask[0])
 
 
+@pytest.mark.slow
 def test_serving_pipeline_matches_golden():
     rows, vmask = _run()
     if not os.path.exists(GOLDEN):

@@ -12,6 +12,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # CLI end-to-end runs: minutes each
+
 from tests.mini_dataset import make_mini_dataset
 
 

@@ -21,6 +21,7 @@ def tiny_setup():
 
 
 class TestForward:
+    @pytest.mark.slow
     def test_shapes(self, tiny_setup):
         cfg, params, cloud = tiny_setup
         ep = graspnet_forward(params, cloud, cfg, train=False)
@@ -36,6 +37,7 @@ class TestForward:
         assert ep["grasp_width_pred"].shape == (b, ns, cfg.num_angle, cfg.num_depth)
         assert ep["grasp_tolerance_pred"].shape == (b, ns, cfg.num_angle, cfg.num_depth)
 
+    @pytest.mark.slow
     def test_jit_forward(self, tiny_setup):
         cfg, params, cloud = tiny_setup
         fwd = jax.jit(lambda p, x: graspnet_forward(p, x, cfg, train=False))

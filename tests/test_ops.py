@@ -51,6 +51,7 @@ class TestFPS:
             got = np.asarray(fps_pallas(jnp.asarray(pts), 32))
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.slow
     def test_chain_interpret_matches(self, rng):
         from graspnet_tpu.ops.pallas.fps import fps_chain_pallas
         from jax.experimental.pallas import tpu as pltpu

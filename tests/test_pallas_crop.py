@@ -42,6 +42,7 @@ def test_fold_bn_eval_matches_layers(setup):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(h), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_crop_matches_unfused(setup):
     cfg, params, xyz, seeds, rot = setup
     ref, _ = heads.crop_forward(params, seeds, xyz, rot, cfg, train=False)
@@ -81,6 +82,7 @@ class TestFusedSAStages:
                 rng.uniform(0.5, 2.0, l["bn"]["var"].shape), jnp.float32
             )
 
+    @pytest.mark.slow
     def test_sa1_fused_matches(self):
         from graspnet_tpu.models.backbone import _sa_stage
         from graspnet_tpu.ops.pallas.crop import sa1_fused_pallas

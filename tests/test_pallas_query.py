@@ -25,6 +25,7 @@ def scene():
 
 
 class TestCylinderPallas:
+    @pytest.mark.slow
     def test_matches_xla(self, scene):
         xyz, centers, rot = scene
         args = (xyz, centers, rot, 0.05, -0.02, (0.01, 0.02, 0.03, 0.04), 16)
@@ -32,6 +33,7 @@ class TestCylinderPallas:
         got = cylinder_query_multi_pallas(*args)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
+    @pytest.mark.slow
     def test_unpadded_n_multiple_of_lane(self, scene):
         xyz, centers, rot = scene
         xyz = jnp.pad(xyz, ((0, 0), (0, 12), (0, 0)), constant_values=5.0)
@@ -40,6 +42,7 @@ class TestCylinderPallas:
         got = cylinder_query_multi_pallas(*args)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
+    @pytest.mark.slow
     def test_empty_and_overfull_regions(self, scene):
         xyz, _, rot = scene
         # one center far away (zero hits -> all-zero row), one at the cloud
@@ -86,6 +89,7 @@ class TestBatchedSelection:
                                        16, rotate=False)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_cylinder_matches_per_seed(self, scene):
         xyz, centers, rot = scene
         args = (xyz, centers, rot, 0.05, -0.02, (0.01, 0.02, 0.03, 0.04), 16)
@@ -110,6 +114,7 @@ class TestBatchedSelection:
         assert (got[0, 0] == 0).all()  # far center: zero-hit row
 
 
+@pytest.mark.slow
 def test_batched_query_fuzz_configs():
     """Randomized shape/radius sweep: batched Pallas (interpret) == XLA."""
     import jax.numpy as jnp

@@ -27,6 +27,7 @@ def reference_infer(params, cloud, cfg):
 
 
 class TestCandidateSharding:
+    @pytest.mark.slow
     def test_matches_unsharded(self, tiny, rng):
         cfg, params = tiny
         mesh = make_mesh(8, axis_names=("candidate",))
@@ -45,6 +46,7 @@ class TestCandidateSharding:
         with pytest.raises(AssertionError, match="not divisible"):
             candidate_sharded_infer(cfg, mesh)
 
+    @pytest.mark.slow
     def test_output_sharded_over_seeds(self, tiny, rng):
         cfg, params = tiny
         mesh = make_mesh(8, axis_names=("candidate",))
@@ -57,6 +59,7 @@ class TestCandidateSharding:
 
 
 class TestHybridSharding:
+    @pytest.mark.slow
     def test_2d_mesh_matches_unsharded(self, tiny, rng):
         cfg, params = tiny
         mesh = make_mesh(8, ("data", "candidate"), shape=(2, 4))
@@ -71,6 +74,7 @@ class TestHybridSharding:
 
 
 class TestDataParallel:
+    @pytest.mark.slow
     def test_matches_unsharded_batch(self, tiny, rng):
         cfg, params = tiny
         mesh = make_mesh(8, axis_names=("data",))

@@ -1,6 +1,7 @@
 """Post-processing tests: collision oracle parity, NMS properties, containers."""
 
 import numpy as np
+import pytest
 
 from graspnet_tpu.postproc import (
     Grasp,
@@ -360,6 +361,7 @@ def test_collision_detector_bucketing_no_shape_explosion(rng):
     assert det.detect(GraspGroup(np.zeros((0, 17), np.float32))).shape == (0,)
 
 
+@pytest.mark.slow
 def test_device_nms_fuzz_many_seeds(rng):
     """Randomized host/device NMS agreement across densities and sizes."""
     import jax

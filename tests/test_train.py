@@ -129,6 +129,7 @@ def make_batch(rng, cfg, b):
 
 
 class TestTrainer:
+    @pytest.mark.slow
     def test_single_device_step_decreases_loss(self, rng):
         cfg = GraspNetConfig.tiny()
         trainer = Trainer(cfg=cfg, tc=TrainConfig(), seed=0)
@@ -141,6 +142,7 @@ class TestTrainer:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
 
+    @pytest.mark.slow
     def test_data_parallel_8dev_matches_semantics(self, rng):
         cfg = GraspNetConfig.tiny()
         mesh = make_mesh(8)
@@ -150,6 +152,7 @@ class TestTrainer:
         loss, metrics = trainer.step(batch)
         assert np.isfinite(float(loss))
 
+    @pytest.mark.slow
     def test_weight_decay_never_touches_bn_running_stats(self, rng):
         # torch Adam(weight_decay) decays parameters, never running_mean/var
         # (they are buffers, not nn.Parameters) — the adamw mask must match
@@ -204,6 +207,7 @@ def test_schedules():
         bn_momentum_at_epoch(tc, 17) == pytest.approx(0.001953125)
 
 
+@pytest.mark.slow
 def test_bfloat16_label_transfer(rng):
     """bf16 label slabs: half the payload, loss within bf16 tolerance of f32."""
     from graspnet_tpu.parallel.mesh import make_mesh
@@ -223,6 +227,7 @@ def test_bfloat16_label_transfer(rng):
     assert abs(l32 - l16) / max(abs(l32), 1e-6) < 0.02
 
 
+@pytest.mark.slow
 def test_put_then_step_device_batch(rng):
     """Double-buffer pattern: put() then step() on the device-resident batch."""
     from graspnet_tpu.parallel.mesh import make_mesh
@@ -275,6 +280,7 @@ def make_compact_batch(rng, cfg, b):
     return full, compact
 
 
+@pytest.mark.slow
 def test_compact_two_phase_step_matches_full_step(rng):
     """step_compact == step: identical loss and identical params after 3 steps."""
     cfg = GraspNetConfig.tiny()
@@ -297,6 +303,7 @@ def test_compact_two_phase_step_matches_full_step(rng):
     assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
 
 
+@pytest.mark.slow
 def test_compact_matches_full_fuzz_seeds():
     """The bitwise compact==full invariant must hold across random scene
     geometries, not just one draw (label matching picks different views /
@@ -314,6 +321,7 @@ def test_compact_matches_full_fuzz_seeds():
         assert float(np.asarray(l1)) == float(np.asarray(l2)), f"seed={seed}"
 
 
+@pytest.mark.slow
 def test_compact_prepare_pipeline_overlap(rng):
     """prepare(next) while the current step is in flight (the app's loop)."""
     cfg = GraspNetConfig.tiny()
@@ -329,6 +337,7 @@ def test_compact_prepare_pipeline_overlap(rng):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_eval_step_uses_running_stat_bn(rng):
     """Reference eval epoch = net.eval(): BN running stats, label crops.
 
