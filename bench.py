@@ -55,22 +55,40 @@ def main():
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
 
-    # (b) pipelined throughput: stream K frames, fetch only the last — the
-    # serving pattern where results return while the next frame computes.
-    k = 20
+    # (b) sustained serving throughput: stream K frames and copy EVERY
+    # frame's (50, 17) result to the host — copy_to_host_async overlaps the
+    # transfers with the following frames' compute, so this measures the
+    # full produce-and-deliver pipeline, not just the last frame's arrival.
+    k = 30
     t0 = time.perf_counter()
-    outs = [pipe._infer_topk(pipe.params, x) for _ in range(k)]
+    outs = []
+    for _ in range(k):
+        rows, vmask = pipe._infer_topk(pipe.params, x)
+        rows.copy_to_host_async()
+        vmask.copy_to_host_async()
+        outs.append((rows, vmask))
+    results = [(np.asarray(r), np.asarray(v)) for r, v in outs]
+    assert len(results) == k and results[-1][0].shape[-1] == 17
+    drained = (time.perf_counter() - t0) / k
+    frames_per_s = 1.0 / drained
+
+    # (c) legacy last-only number (the r1 metric): submit K, fetch only the
+    # last.  Occasionally pathological through the tunneled backend (burst
+    # dispatch stalls), reported for continuity only.
+    t0 = time.perf_counter()
+    outs = [pipe._infer_topk(pipe.params, x) for _ in range(10)]
     jax.device_get(outs[-1][1])
-    pipelined = (time.perf_counter() - t0) / k
-    frames_per_s = 1.0 / pipelined
+    last_only = (time.perf_counter() - t0) / 10
 
     result = {
-        "metric": "frames/s/chip (20k-pt cloud, decode + NMS + top-50 on device)",
+        "metric": "frames/s/chip sustained (20k-pt cloud, decode + NMS + "
+        "top-50 on device, every result drained to host)",
         "value": round(frames_per_s, 3),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_s / 10.0, 3),  # north-star: 10 fps (100 ms)
         "p50_sync_ms": round(p50 * 1000, 2),
-        "pipelined_ms": round(pipelined * 1000, 2),
+        "drained_ms": round(drained * 1000, 2),
+        "pipelined_last_only_ms": round(last_only * 1000, 2),
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
     }
