@@ -127,7 +127,7 @@ def main():
     test_ds = GraspNetDataset(
         args.dataset_root, valid_objs, grasp_labels, camera=args.camera,
         split="test_seen", num_points=cfg.num_point, remove_outlier=True,
-        augment=False, cfg=cfg, label_mode="full",
+        augment=False, cfg=cfg, label_mode=args.label_mode,
     )
     logger.log(f"train len: {len(train_ds)}, test len: {len(test_ds)}")
 
@@ -300,7 +300,11 @@ def main():
         logger.log(f"epoch train time: {time.time()-t0:.1f}s")
 
         for batch in test_loader:
-            _, metrics = trainer.eval_step(batch)
+            _, metrics = (
+                trainer.eval_step_compact(batch)
+                if compact
+                else trainer.eval_step(batch)
+            )
             logger.accumulate(metrics)
         logger.flush("eval", (epoch + 1) * len(train_loader))
 

@@ -338,6 +338,47 @@ def test_compact_prepare_pipeline_overlap(rng):
 
 
 @pytest.mark.slow
+def test_eval_compact_matches_full(rng):
+    """eval_step_compact == eval_step: bitwise loss/metrics, <=10% of the
+    full path's host->device label bytes (VERDICT round 1, next #8).
+
+    A train step runs first so BN running stats are non-trivial — the eval
+    stage-1 pre-pass must reproduce the running-stat (train=False) top-view
+    indices, not the batch-stat ones the TRAIN pre-pass computes.
+    """
+    cfg = GraspNetConfig.tiny()
+    full, compact = make_compact_batch(rng, cfg, 2)
+    tr = Trainer(cfg=cfg, tc=TrainConfig(), seed=0)
+    tr.set_epoch(0)
+    tr.step(dict(full))  # perturb params + BN running stats away from init
+
+    l_full, m_full = tr.eval_step(dict(full))
+    l_comp, m_comp = tr.eval_step_compact(compact)
+    assert float(np.asarray(l_full)) == float(np.asarray(l_comp))
+    for k in m_full:
+        assert float(np.asarray(m_full[k])) == float(np.asarray(m_comp[k])), k
+
+    # traffic: full path ships the (B, Ns, V, A, D) slabs; compact ships the
+    # clouds + sa_inds pre-pass payload plus matched (B, Ns, A, D)-sized slabs
+    def nbytes(tree):
+        return sum(
+            x.nbytes
+            for x in jax.tree_util.tree_leaves(tree)
+            if hasattr(x, "nbytes")
+        )
+
+    full_bytes = nbytes(full)
+    handle = tr.prepare(compact, train=False)
+    matched = tr._finalize_batch(handle)
+    compact_bytes = nbytes({"point_clouds": compact["point_clouds"],
+                            "objectness_label": compact["objectness_label"],
+                            "sa_inds": compact["sa_inds"]}) + nbytes(
+        {k: v for k, v in matched.items() if k not in
+         ("point_clouds", "objectness_label", "sa_inds")})
+    assert compact_bytes <= 0.1 * full_bytes, (compact_bytes, full_bytes)
+
+
+@pytest.mark.slow
 def test_eval_step_uses_running_stat_bn(rng):
     """Reference eval epoch = net.eval(): BN running stats, label crops.
 
