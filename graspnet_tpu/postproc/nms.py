@@ -157,6 +157,9 @@ def nms_top_k(
     # grasps from the K slots (XLA's top_k total order sorts NaN high);
     # they come out flagged invalid.
     scores = jnp.where(keep & ~jnp.isnan(grasps[:, 0]), grasps[:, 0], -jnp.inf)
-    top_scores, top_idx = jax.lax.top_k(scores, k)
+    # a K above the candidate count means "no truncation": every row already
+    # fits, so clamp instead of crashing in lax.top_k (service callers pass
+    # arbitrary top_k values)
+    top_scores, top_idx = jax.lax.top_k(scores, min(k, scores.shape[0]))
     rows = jnp.take(grasps, top_idx, axis=0)
     return rows, jnp.isfinite(top_scores)
