@@ -19,12 +19,23 @@ K_LO, K_HI = 10, 60
 
 
 def _loop(fn, k):
+    import jax.numpy as jnp
+
+    def body_total(out):
+        # consume EVERY output leaf with a full reduction: feeding only one
+        # element back lets XLA dead-code-eliminate the rest of the stage
+        # (a value_and_grad stage timed as forward-only before this fix)
+        return sum(
+            jnp.sum(leaf.astype(jnp.float32))
+            for leaf in jax.tree_util.tree_leaves(out)
+        )
+
     def loop(*a):
         def body(carry, _):
             out = fn(carry, *a[1:])
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            eps = (leaf.ravel()[0] * 0.0).astype(a[0].dtype)
-            return a[0] + eps, leaf.ravel()[0]
+            tot = body_total(out)
+            eps = (tot * 0.0).astype(a[0].dtype)
+            return a[0] + eps, tot
 
         _, outs = jax.lax.scan(body, a[0], None, length=k)
         return outs
