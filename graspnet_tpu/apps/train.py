@@ -258,6 +258,8 @@ def main():
     for epoch in range(start_epoch, tc.max_epoch):
         trainer.set_epoch(epoch)
         train_ds.set_epoch(epoch)  # fresh per-frame sampling/augmentation
+        train_loader.set_epoch(epoch)  # global-epoch-pinned shuffle: hosts
+        # agree on the permutation regardless of restarts / extra eval passes
         logger.log(f"**** EPOCH {epoch:03d} ****  lr={trainer.opt_state.hyperparams['learning_rate']}")
         t0 = time.time()
         # double buffering: dispatch the step, then start the NEXT batch's

@@ -331,6 +331,13 @@ class DataLoader:
     every host sees a disjoint slice of each epoch's permutation, so a
     global batch = the concatenation of per-host local batches covers
     distinct frames.
+
+    Call set_epoch(epoch) before each epoch (torch DistributedSampler
+    convention) to pin the shuffle to the GLOBAL epoch number: the
+    cross-host identical-permutation guarantee then holds even if a host
+    restarts mid-training or calls __iter__ a different number of times
+    (e.g. an extra eval pass).  Without it, the legacy stream RNG requires
+    strict __iter__ lockstep across hosts.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True, num_workers: int = 4, seed: int = 0, drop_last: bool = True, num_shards: int = 1, shard_index: int = 0):
@@ -338,11 +345,17 @@ class DataLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = num_workers
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
+        self._epoch = None
         self.drop_last = drop_last
         assert 0 <= shard_index < num_shards, (shard_index, num_shards)
         self.num_shards = num_shards
         self.shard_index = shard_index
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the next __iter__'s shuffle to (seed, epoch)."""
+        self._epoch = epoch
 
     def __len__(self):
         n_local = len(self.dataset) // self.num_shards if self.num_shards > 1 else len(self.dataset)
@@ -354,7 +367,12 @@ class DataLoader:
     def __iter__(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(order)
+            if self._epoch is not None:
+                np.random.default_rng(
+                    np.random.SeedSequence([self.seed, self._epoch])
+                ).shuffle(order)
+            else:
+                self.rng.shuffle(order)
         if self.num_shards > 1:
             usable = (len(order) // self.num_shards) * self.num_shards
             order = order[:usable][self.shard_index :: self.num_shards]

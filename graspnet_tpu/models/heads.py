@@ -198,20 +198,38 @@ def crop_forward(
             cfg.crop_nsample,
         )
         return pooled, None
-    idx = cylinder_query_multi_depth(
-        pointcloud,
-        seed_xyz,
-        vp_rot,
-        cfg.cylinder_radius,
-        cfg.hmin,
-        cfg.hmax_list,
-        cfg.crop_nsample,
-    )  # (B, Ns, D, S)
-    b, ns, nd, s = idx.shape
-    grouped = ops.group_points(pointcloud, idx.reshape(b, ns * nd, s))
-    grouped = grouped.reshape(b, ns, nd, s, 3) - seed_xyz[:, :, None, None, :]
-    # rotate offsets into the gripper frame: offset @ R (modules.py:527-530)
-    grouped = jnp.einsum("bndsi,bnij->bndsj", grouped, vp_rot)
+    if jax.default_backend() == "tpu":
+        # fused query+gather+rotate (train path / generic-MLP eval): one
+        # kernel, no HBM index tensor.  Non-differentiable w.r.t. cloud /
+        # seeds / rotations — in training those are input data and label
+        # grasp points/views, which carry no gradient in the reference
+        # either (grouping indices are discrete).
+        from graspnet_tpu.ops.pallas.crop import crop_group_pallas
+
+        grouped = crop_group_pallas(
+            pointcloud,
+            seed_xyz,
+            vp_rot,
+            cfg.cylinder_radius,
+            cfg.hmin,
+            tuple(cfg.hmax_list),
+            cfg.crop_nsample,
+        )  # (B, Ns, D, S, 3) already in the gripper frame
+    else:
+        idx = cylinder_query_multi_depth(
+            pointcloud,
+            seed_xyz,
+            vp_rot,
+            cfg.cylinder_radius,
+            cfg.hmin,
+            cfg.hmax_list,
+            cfg.crop_nsample,
+        )  # (B, Ns, D, S)
+        b, ns, nd, s = idx.shape
+        grouped = ops.group_points(pointcloud, idx.reshape(b, ns * nd, s))
+        grouped = grouped.reshape(b, ns, nd, s, 3) - seed_xyz[:, :, None, None, :]
+        # rotate offsets into the gripper frame: offset @ R (modules.py:527-530)
+        grouped = jnp.einsum("bndsi,bnij->bndsj", grouped, vp_rot)
     out, stats = nn.shared_mlp(params["mlp"], grouped, train=train, eps=cfg.bn_eps)
     pooled = jnp.max(out, axis=3)  # max over nsample -> (B, Ns, D, C)
     return pooled, stats

@@ -25,31 +25,63 @@ extern "C" {
 // Furthest point sampling, exact reference semantics
 // (sampling_gpu.cu:74-178): index 0 first, skip points with squared norm
 // <= 1e-3, min-distance buffer initialized to 1e10, first-index tie-break.
+//
+// Vectorized formulation (bit-identical selections to the scalar scan):
+//   * SoA x/y/z planes so the inner loop is unit-stride vector loads;
+//   * the near-origin skip becomes temp = -1 at init: squared distances are
+//     >= 0, so min() keeps invalid points at -1 forever and the argmax can
+//     only pick one when NO valid point exists — in which case the
+//     reference's scan also leaves besti = 0;
+//   * per-iteration fused pass: branchless min-update + blockwise max
+//     (exact associative reductions), then the first block holding the
+//     global max is re-scanned for the first attaining index — the same
+//     first-index tie-break as the reference's strict `>` scan.
 void gn_fps(const float* xyz, int n, int m, int* out) {
   if (m <= 0) return;
-  std::vector<float> temp(n, 1e10f);
-  std::vector<uint8_t> valid(n);
+  constexpr int BLK = 4096;
+  std::vector<float> xs(n), ys(n), zs(n), temp(n);
   for (int k = 0; k < n; ++k) {
     const float x = xyz[k * 3], y = xyz[k * 3 + 1], z = xyz[k * 3 + 2];
-    valid[k] = (x * x + y * y + z * z) > 1e-3f;
+    xs[k] = x;
+    ys[k] = y;
+    zs[k] = z;
+    temp[k] = (x * x + y * y + z * z) > 1e-3f ? 1e10f : -1.0f;
   }
+  const int nblk = (n + BLK - 1) / BLK;
+  std::vector<float> blockmax(nblk);
   int old = 0;
   out[0] = 0;
   for (int j = 1; j < m; ++j) {
-    const float x1 = xyz[old * 3], y1 = xyz[old * 3 + 1], z1 = xyz[old * 3 + 2];
-    float best = -1.0f;
+    const float x1 = xs[old], y1 = ys[old], z1 = zs[old];
+    float gmax = -2.0f;
+    for (int b = 0; b < nblk; ++b) {
+      const int k0 = b * BLK, k1 = k0 + BLK < n ? k0 + BLK : n;
+      float bm = -2.0f;
+#pragma omp simd reduction(max : bm)
+      for (int k = k0; k < k1; ++k) {
+        const float dx = xs[k] - x1;
+        const float dy = ys[k] - y1;
+        const float dz = zs[k] - z1;
+        const float d = dx * dx + dy * dy + dz * dz;
+        const float t = temp[k];
+        const float d2 = d < t ? d : t;
+        temp[k] = d2;
+        bm = d2 > bm ? d2 : bm;
+      }
+      blockmax[b] = bm;
+      gmax = bm > gmax ? bm : gmax;
+    }
     int besti = 0;
-    for (int k = 0; k < n; ++k) {
-      if (!valid[k]) continue;
-      const float dx = xyz[k * 3] - x1;
-      const float dy = xyz[k * 3 + 1] - y1;
-      const float dz = xyz[k * 3 + 2] - z1;
-      const float d = dx * dx + dy * dy + dz * dz;
-      const float d2 = d < temp[k] ? d : temp[k];
-      temp[k] = d2;
-      if (d2 > best) {
-        best = d2;
-        besti = k;
+    for (int b = 0; b < nblk; ++b) {
+      if (blockmax[b] == gmax) {
+        const int k0 = b * BLK, k1 = k0 + BLK < n ? k0 + BLK : n;
+        for (int k = k0; k < k1; ++k) {
+          if (temp[k] == gmax) {
+            besti = k;
+            break;
+          }
+        }
+        break;
       }
     }
     old = besti;
@@ -152,18 +184,21 @@ void gn_label_view_stats(const float* scores, const float* widths,
       const float* sv = sp + (int64_t)i * ad;
       const float* wv = wp + (int64_t)i * ad;
       float mn = INFINITY, mx = -INFINITY;
-      bool h = false;
+      int hc = 0;
+      // branchless so the compiler vectorizes the (memory-bound) sweep:
+      // masked-out elements contribute +inf to the min and 0 to the count
+#pragma omp simd reduction(min : mn) reduction(max : mx) reduction(+ : hc)
       for (int j = 0; j < ad; ++j) {
         const float x = sv[j];
-        if (x > mx) mx = x;
-        if (x > 0.f && wv[j] <= max_width) {
-          h = true;
-          if (x < mn) mn = x;
-        }
+        mx = x > mx ? x : mx;
+        const bool keep = (x > 0.f) & (wv[j] <= max_width);
+        const float c = keep ? x : INFINITY;
+        mn = c < mn ? c : mn;
+        hc += keep ? 1 : 0;
       }
       const int64_t o = p * (int64_t)v + i;
       lmin[o] = mn;
-      has[o] = h ? 1 : 0;
+      has[o] = hc ? 1 : 0;
       vmax[o] = mx;
     }
   }

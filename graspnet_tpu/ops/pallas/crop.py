@@ -61,12 +61,10 @@ def fold_bn_eval(layers: List[Dict[str, Any]], eps: float):
     return folded
 
 
-def _crop_kernel(
-    seed_ref,  # SMEM (1, SB, 1, 3)
-    rot_ref,  # SMEM (1, SB, 1, 9)
-    pts_ref,  # VMEM (1, 3*G, 128)
-    w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,  # VMEM folded weights
-    out_ref,  # VMEM (1, SB, D, C3)
+def _gather_grouped_core(
+    seed_ref,
+    rot_ref,
+    pts_ref,
     *,
     g: int,
     ns: int,
@@ -78,8 +76,10 @@ def _crop_kernel(
     ball: bool,
     sb: int,
 ):
-    """All SB*D selections of the program batched into full-width matmuls.
+    """Query + first-hits gather + pad + gripper-frame transform for one
+    program block: the shared front half of the fused crop kernels.
 
+    All SB*D selections of the program are batched into full-width matmuls.
     Two structural facts make this ~2x the per-(seed,depth) version:
 
       * the gathered samples' coordinates come from the SHARED raw x/y/z
@@ -91,6 +91,10 @@ def _crop_kernel(
         running-count row (values <= 128, exact in bf16) plus the tile's
         start count (computed per-slot on the VPU), so that gather runs at
         bf16 MXU rate instead of gathering the f32 global-count plane.
+
+    Returns (sx, sy, sz), each (SB*D*NS, 1) f32: the selected samples'
+    gripper-frame offsets in seed-major / depth / slot order, with the
+    reference first-hit/zero padding already applied.
     """
     nsel = sb * ndepth
     x_pl = pts_ref[0, 0:g, :]
@@ -172,8 +176,6 @@ def _crop_kernel(
                 dx * rot_ref[0, s, 0, 2] + dy * rot_ref[0, s, 0, 5] + dz * rot_ref[0, s, 0, 8]
             )
 
-    # one MLP over ALL (seed, depth, sample) rows of the block — (SB*D*NS, C)
-    # matmuls keep the MXU busy instead of SB*D tiny ones
     sx = jnp.concatenate(cols_x, axis=0)
     sy = jnp.concatenate(cols_y, axis=0)
     sz = jnp.concatenate(cols_z, axis=0)
@@ -181,6 +183,34 @@ def _crop_kernel(
         sx = sx * normalize
         sy = sy * normalize
         sz = sz * normalize
+    return sx, sy, sz
+
+
+def _crop_kernel(
+    seed_ref,  # SMEM (1, SB, 1, 3)
+    rot_ref,  # SMEM (1, SB, 1, 9)
+    pts_ref,  # VMEM (1, 3*G, 128)
+    w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,  # VMEM folded weights
+    out_ref,  # VMEM (1, SB, D, C3)
+    *,
+    g: int,
+    ns: int,
+    ndepth: int,
+    r2: float,
+    hmin: float,
+    hmaxs: Tuple[float, ...],
+    normalize: float,
+    ball: bool,
+    sb: int,
+):
+    """Gathered gripper-frame offsets -> BN-folded MLP -> maxpool (eval)."""
+    sx, sy, sz = _gather_grouped_core(
+        seed_ref, rot_ref, pts_ref,
+        g=g, ns=ns, ndepth=ndepth, r2=r2, hmin=hmin, hmaxs=hmaxs,
+        normalize=normalize, ball=ball, sb=sb,
+    )
+    # one MLP over ALL (seed, depth, sample) rows of the block — (SB*D*NS, C)
+    # matmuls keep the MXU busy instead of SB*D tiny ones.
     # MLP layer 1 (K=3): broadcast-sum, keeps the MXU out of a K=3 matmul
     h = jax.nn.relu(
         sx * w1_ref[0:1, :] + sy * w1_ref[1:2, :] + sz * w1_ref[2:3, :]
@@ -291,6 +321,128 @@ def crop_fused_pallas(
         out_shape=jax.ShapeDtypeStruct((b, m, ndepth, c3), jnp.float32),
     )(new_xyz[:, :, None, :], rot_flat[:, :, None, :], planes,
       w1, b1, w2, b2, w3, b3)
+
+
+def _crop_group_kernel(
+    seed_ref,  # SMEM (1, SB, 1, 3)
+    rot_ref,  # SMEM (1, SB, 1, 9)
+    pts_ref,  # VMEM (1, 3*G, 128)
+    out_ref,  # VMEM (1, SB, D*NS, 3)
+    *,
+    g: int,
+    ns: int,
+    ndepth: int,
+    r2: float,
+    hmin: float,
+    hmaxs: Tuple[float, ...],
+    normalize: float,
+    ball: bool,
+    sb: int,
+):
+    """Gathered gripper-frame offsets, written out instead of embedded."""
+    sx, sy, sz = _gather_grouped_core(
+        seed_ref, rot_ref, pts_ref,
+        g=g, ns=ns, ndepth=ndepth, r2=r2, hmin=hmin, hmaxs=hmaxs,
+        normalize=normalize, ball=ball, sb=sb,
+    )
+    grouped = jnp.concatenate([sx, sy, sz], axis=1)  # (SB*D*NS, 3)
+    out_ref[0, :, :, :] = grouped.reshape(sb, ndepth * ns, 3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radius", "hmin", "hmax_list", "nsample", "normalize", "ball", "sb"
+    ),
+)
+def crop_group_pallas(
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    rot: jax.Array | None,
+    radius: float,
+    hmin: float,
+    hmax_list: Tuple[float, ...],
+    nsample: int,
+    normalize: float = 1.0,
+    ball: bool = False,
+    sb: int | None = None,
+) -> jax.Array:
+    """Fused cylinder query + group + center-subtract + gripper-frame rotate.
+
+    The training-path front half of CloudCrop (reference CylinderQueryAndGroup,
+    pointnet2_utils.py:461-530): one kernel replaces the Pallas index query +
+    XLA gather + einsum rotate pipeline, and never materializes the
+    (B, Ns, D, S) index tensor in HBM.  The batch-stats SharedMLP stays in
+    XLA on top (it needs global BN reductions and weight gradients).
+
+    NON-DIFFERENTIABLE by construction (inputs are stop-gradiented): in
+    training the crop centers are label grasp points and the rotations are
+    label view rotations — no gradient flows to them in the reference either
+    (grouping indices are discrete; torch never differentiates labels/input
+    data).
+
+    Returns (B, Ns, D, nsample, 3) f32 gripper-frame offsets, bit-identical
+    selection to the sequential-scan oracle and the unfused path's indices.
+    """
+    xyz = jax.lax.stop_gradient(xyz)
+    new_xyz = jax.lax.stop_gradient(new_xyz)
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    ndepth = len(hmax_list)
+    g = -(-n // _LANE)
+    if sb is None:
+        if ball and m % 16 == 0:
+            sb = 16
+        else:
+            sb = 8 if m % 8 == 0 else (4 if m % 4 == 0 else 1)
+
+    planes = jnp.transpose(xyz, (0, 2, 1))
+    if g * _LANE != n:
+        planes = jnp.pad(
+            planes, ((0, 0), (0, 0), (0, g * _LANE - n)),
+            constant_values=_SENTINEL,
+        )
+    planes = planes.reshape(b, 3 * g, _LANE)
+
+    kernel = functools.partial(
+        _crop_group_kernel,
+        g=g,
+        ns=nsample,
+        ndepth=ndepth,
+        r2=radius * radius,
+        hmin=hmin,
+        hmaxs=tuple(hmax_list),
+        normalize=normalize,
+        ball=ball,
+        sb=sb,
+    )
+    if rot is None:
+        rot_flat = jnp.zeros((b, m, 9), xyz.dtype)
+    else:
+        rot_flat = jax.lax.stop_gradient(rot).reshape(b, m, 9)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, m // sb),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec(
+                (1, sb, 1, 3), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, sb, 1, 9), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 3 * g, _LANE), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, sb, ndepth * nsample, 3),
+            lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, m, ndepth * nsample, 3), jnp.float32),
+    )(new_xyz[:, :, None, :], rot_flat[:, :, None, :], planes)
+    return out.reshape(b, m, ndepth, nsample, 3)
 
 
 def _sa_feat_kernel(

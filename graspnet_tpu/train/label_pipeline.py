@@ -151,10 +151,17 @@ def assign_views(pose_rot: np.ndarray, num_view: int) -> Tuple[np.ndarray, np.nd
       view_rot_trans (V, 3, 3): pose-rotated template view rotations,
         re-indexed by view_inds.
     """
+    from graspnet_tpu import native
+
     views = geometry.generate_grasp_views_np(num_view)  # (V, 3)
     views_trans = views @ pose_rot.T
-    d2 = np.sum((views[:, None, :] - views_trans[None, :, :]) ** 2, axis=-1)
-    view_inds = np.argmin(d2, axis=1).astype(np.int32)  # (V,) query=canonical
+    # nearest transformed view per canonical view — native.nearest computes
+    # the same difference-form squared distances (the reference knn kernel's
+    # ssd += (a-b)^2 form, knn.cu:89-92) with the same first-index tie-break
+    # as np.argmin over the explicit (V, V) matrix
+    view_inds = native.nearest(
+        views.astype(np.float32), views_trans.astype(np.float32)
+    ).astype(np.int32)  # (V,) query=canonical
     rots = geometry.canonical_view_rotations_np(num_view)  # (V, 3, 3) cached
     rot_trans = np.einsum("ij,vjk->vik", pose_rot, rots)  # pose @ rot
     return view_inds, rot_trans[view_inds]

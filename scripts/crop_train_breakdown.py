@@ -55,6 +55,16 @@ def main():
     timeit("gather + rotate (XLA)", gather_rotate, cloud, seeds, rots, idx)
     grouped = jax.jit(gather_rotate)(cloud, seeds, rots, idx)
 
+    from graspnet_tpu.ops.pallas.crop import crop_group_pallas
+
+    def group_fused(x, s, r):
+        return crop_group_pallas(
+            x, s, r, cfg.cylinder_radius, cfg.hmin, tuple(cfg.hmax_list),
+            cfg.crop_nsample,
+        )
+
+    timeit("fused query+gather+rotate (Pallas)", group_fused, cloud, seeds, rots)
+
     def mlp_train(g, p):
         out, stats = nn.shared_mlp(p, g, train=True, eps=cfg.bn_eps)
         return jnp.max(out, axis=3), stats
@@ -84,11 +94,38 @@ def main():
     timeit("shared_mlp train fwd+bwd (all grads)", mlp_train_bwd_sum, grouped,
            params["mlp"])
 
+    def mlp_train_bwd_remat(g, p):
+        @jax.checkpoint
+        def fwd(q, gg):
+            out, _ = nn.shared_mlp(q, gg, train=True, eps=cfg.bn_eps)
+            return jnp.max(out, axis=3)
+
+        def f(q):
+            pooled = fwd(q, g)
+            return jnp.sum(pooled * pooled)
+
+        loss, grads = jax.value_and_grad(f)(p)
+        return loss + sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(grads))
+
+    timeit("shared_mlp train fwd+bwd (remat)", mlp_train_bwd_remat, grouped,
+           params["mlp"])
+
     def full_train(x, s, r, p):
         out, stats = heads.crop_forward(p, s, x, r, cfg, train=True)
         return out, stats
 
     timeit("crop_forward train (full)", full_train, cloud, seeds, rots, params)
+
+    def full_train_bwd(x, s, r, p):
+        def f(q):
+            out, _ = heads.crop_forward(q, s, x, r, cfg, train=True)
+            return jnp.sum(out * out)
+
+        loss, grads = jax.value_and_grad(f)(p)
+        return loss + sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(grads))
+
+    timeit("crop_forward train fwd+bwd (full)", full_train_bwd, cloud, seeds,
+           rots, params)
 
 
 if __name__ == "__main__":

@@ -175,6 +175,42 @@ class TestDataset:
         flat = np.concatenate(seen)
         assert len(np.unique(flat)) == 12  # disjoint, covering 12 of 13
 
+    def test_dataloader_set_epoch_immune_to_desync(self):
+        """Epoch-pinned shuffle (VERDICT weak #7): hosts that iterated a
+        DIFFERENT number of times still agree on the permutation once
+        set_epoch is called, and shard disjointness holds per epoch."""
+
+        class IndexDataset:
+            def __len__(self):
+                return 16
+
+            def __getitem__(self, i):
+                return {"i": np.int64(i)}
+
+        d = IndexDataset()
+
+        def make(shard):
+            return ds.DataLoader(
+                d, batch_size=2, shuffle=True, num_workers=1, seed=7,
+                num_shards=2, shard_index=shard, drop_last=False,
+            )
+
+        a, b = make(0), make(1)
+        # desynchronize: host b does an extra (e.g. eval) pass
+        list(b)
+        a.set_epoch(3)
+        b.set_epoch(3)
+        ia = np.concatenate([x["i"] for x in a])
+        ib = np.concatenate([x["i"] for x in b])
+        assert len(np.intersect1d(ia, ib)) == 0  # still disjoint
+        assert len(np.union1d(ia, ib)) == 16  # still covering
+        # same epoch again -> identical order (restart-safe)
+        a2 = make(0)
+        a2.set_epoch(3)
+        np.testing.assert_array_equal(
+            ia, np.concatenate([x["i"] for x in a2])
+        )
+
 
 class TestAugment:
     def test_flip_rotate_consistency(self, rng):

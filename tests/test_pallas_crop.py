@@ -70,6 +70,94 @@ def test_fused_crop_empty_seed(setup):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
 
 
+def _grouped_xla(cfg, xyz, seeds, rot):
+    """The unfused train-path grouping: query -> gather -> subtract -> rotate."""
+    from graspnet_tpu import ops
+    from graspnet_tpu.models.heads import cylinder_query_multi_depth
+
+    idx = cylinder_query_multi_depth(
+        xyz, seeds, rot, cfg.cylinder_radius, cfg.hmin, cfg.hmax_list,
+        cfg.crop_nsample,
+    )
+    b, ns, nd, s = idx.shape
+    grouped = ops.group_points(xyz, idx.reshape(b, ns * nd, s))
+    grouped = grouped.reshape(b, ns, nd, s, 3) - np.asarray(seeds)[:, :, None, None, :]
+    return jnp.einsum("bndsi,bnij->bndsj", grouped, rot)
+
+
+class TestCropGroupKernel:
+    """crop_group_pallas (train-path fused query+gather+rotate) parity."""
+
+    def test_matches_unfused_grouping(self, setup):
+        from graspnet_tpu.ops.pallas.crop import crop_group_pallas
+
+        cfg, _, xyz, seeds, rot = setup
+        ref = _grouped_xla(cfg, xyz, seeds, rot)
+        got = crop_group_pallas(
+            xyz, seeds, rot, cfg.cylinder_radius, cfg.hmin,
+            tuple(cfg.hmax_list), cfg.crop_nsample,
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-6)
+
+    def test_empty_seed_padding(self, setup):
+        from graspnet_tpu.ops.pallas.crop import crop_group_pallas
+
+        cfg, _, xyz, _, rot = setup
+        far = jnp.full((xyz.shape[0], rot.shape[1], 3), 10.0, jnp.float32)
+        ref = _grouped_xla(cfg, xyz, far, rot)
+        got = crop_group_pallas(
+            xyz, far, rot, cfg.cylinder_radius, cfg.hmin,
+            tuple(cfg.hmax_list), cfg.crop_nsample,
+        )
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-6)
+
+    def test_stop_gradient(self, setup):
+        """Differentiating through the kernel yields zeros, never an error."""
+        from graspnet_tpu.ops.pallas.crop import crop_group_pallas
+
+        cfg, _, xyz, seeds, rot = setup
+
+        def f(s):
+            return jnp.sum(
+                crop_group_pallas(
+                    xyz, s, rot, cfg.cylinder_radius, cfg.hmin,
+                    tuple(cfg.hmax_list), cfg.crop_nsample,
+                )
+            )
+
+        g = jax.grad(f)(seeds)
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+    @pytest.mark.slow
+    def test_train_mlp_on_fused_grouping(self, setup):
+        """shared_mlp(train=True) over kernel vs XLA grouping: same features
+        AND batch stats (the full train crop path modulo the dispatch gate)."""
+        cfg, params, xyz, seeds, rot = setup
+        from graspnet_tpu.ops.pallas.crop import crop_group_pallas
+
+        ref_g = _grouped_xla(cfg, xyz, seeds, rot)
+        got_g = crop_group_pallas(
+            xyz, seeds, rot, cfg.cylinder_radius, cfg.hmin,
+            tuple(cfg.hmax_list), cfg.crop_nsample,
+        )
+        ref, ref_stats = nn.shared_mlp(
+            params["mlp"], ref_g, train=True, eps=cfg.bn_eps
+        )
+        got, got_stats = nn.shared_mlp(
+            params["mlp"], got_g, train=True, eps=cfg.bn_eps
+        )
+        np.testing.assert_allclose(
+            np.asarray(jnp.max(ref, axis=3)), np.asarray(jnp.max(got, axis=3)),
+            atol=1e-5,
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref_stats),
+            jax.tree_util.tree_leaves(got_stats),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 class TestFusedSAStages:
     def _bn_randomize(self, layers, rng):
         import jax.numpy as jnp
