@@ -16,13 +16,18 @@ What is asserted (and why not bitwise): the cross-process gloo all-reduce
 does not guarantee the same float reduction order as the single-process
 8-device all-reduce, and Adam amplifies 1-ulp gradient differences on
 near-zero bias gradients into lr-scale parameter diffs (measured: losses
-bitwise equal, biases off by ~1e-3 after one step, kernels by ~1e-9).  The
-discriminating invariants are therefore:
+bitwise equal, biases off by ~1e-3 after one step, kernels by ~1e-9).
 
-  * step-0 LOSS equal to float precision (identical params, same batch);
-  * step-0 GRADIENTS allclose at reduction-noise tolerance — a
-    shard-ordering, u_max-allgather, or local-rows bug shifts them by O(1);
-  * final params allclose at an Adam-amplified tolerance (5e-3).
+The tolerances are DERIVED from the run, not hardcoded: the parent repeats
+its own loop with the batch order REVERSED — mathematically identical
+(every batch reduction is symmetric) but a different scene -> device
+assignment, so the same psum tree adds the same values in a different
+order.  The per-leaf deviation between the two parent runs is a realized
+sample of pure reduction-order noise, Adam amplification included; the
+2-process run must agree with the parent within SAFETY x max(that probe,
+the analytic worst-case re-ordering bound 2 (n_dev-1) eps_f32 max|leaf|).
+A genuinely wrong reduction (dropped scene, double count, bad u_max
+allgather) perturbs gradients by ~|g|/n_dev, orders above either term.
 
 Prints one JSON verdict line.
 
@@ -90,8 +95,8 @@ def make_scene(cfg, scene_seed: int):
     }
 
 
-def build_local_batch(cfg, step: int, lo: int, hi: int):
-    scenes = [make_scene(cfg, 10_000 * step + i) for i in range(lo, hi)]
+def build_local_batch(cfg, step: int, lo: int, hi: int, order: int = 1):
+    scenes = [make_scene(cfg, 10_000 * step + i) for i in range(lo, hi)][::order]
     batch = {}
     for k in scenes[0]:
         if k == "sa_inds":
@@ -103,7 +108,7 @@ def build_local_batch(cfg, step: int, lo: int, hi: int):
     return batch
 
 
-def run_train(cfg, mesh, lo: int, hi: int):
+def run_train(cfg, mesh, lo: int, hi: int, order: int = 1):
     import jax
 
     from graspnet_tpu.train.trainer import Trainer, TrainConfig
@@ -111,10 +116,10 @@ def run_train(cfg, mesh, lo: int, hi: int):
     trainer = Trainer(cfg=cfg, tc=TrainConfig(), mesh=mesh, seed=0)
     trainer.set_epoch(0)
     # gradient probe at the initial params (no state mutation)
-    loss0, grads0 = trainer.grads_compact(build_local_batch(cfg, 0, lo, hi))
+    loss0, grads0 = trainer.grads_compact(build_local_batch(cfg, 0, lo, hi, order))
     losses = []
     for s in range(STEPS):
-        loss, _ = trainer.step_compact(build_local_batch(cfg, s, lo, hi))
+        loss, _ = trainer.step_compact(build_local_batch(cfg, s, lo, hi, order))
         losses.append(float(jax.device_get(loss)))
     return trainer, losses, float(jax.device_get(loss0)), jax.device_get(grads0)
 
@@ -160,9 +165,21 @@ def parent_main(args) -> int:
 
     cfg = GraspNetConfig.tiny()
     trainer, losses, loss0, grads0 = run_train(cfg, make_mesh(N_GLOBAL), 0, N_GLOBAL)
+    # DERIVED tolerance probe: the same loop with the batch order reversed is
+    # mathematically identical (every reduction over the batch is symmetric)
+    # but permutes the scene -> device assignment, so the psum tree adds the
+    # same values in a different order.  Its deviation from the forward run
+    # is a realized sample of pure reduction-order noise at this model /
+    # batch / optimizer operating point — the same noise class that
+    # separates the 2-process gloo reduction from the 1-process psum.
+    trainer_r, losses_r, loss0_r, grads0_r = run_train(
+        cfg, make_mesh(N_GLOBAL), 0, N_GLOBAL, order=-1
+    )
     with tempfile.TemporaryDirectory() as tmp:
         ref_path = os.path.join(tmp, "ref.npz")
         _save_results(ref_path, trainer, losses, loss0, grads0)
+        rev_path = os.path.join(tmp, "rev.npz")
+        _save_results(rev_path, trainer_r, losses_r, loss0_r, grads0_r)
 
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))
@@ -189,41 +206,72 @@ def parent_main(args) -> int:
             return 1
 
         ref = np.load(ref_path)
+        rev = np.load(rev_path)
         got = np.load(out)
 
-        def max_diff(prefix):
-            keys = [k for k in ref.files if k.startswith(prefix) and k[1:].isdigit()]
-            return max(
-                float(np.max(np.abs(ref[k].astype(np.float64) - got[k].astype(np.float64))))
-                if ref[k].size else 0.0
-                for k in keys
-            ), len(keys)
+        # Per-leaf tolerance DERIVED from this run, not hardcoded:
+        #   SAFETY * max(probe, analytic) + atol floor, where
+        #   probe    = |forward-order run - reversed-order run| for the leaf
+        #              (realized reduction-order noise, see above), and
+        #   analytic = 2 * (n_dev - 1) * eps_f32 * max|g| (the worst-case
+        #              bound for re-ordering an n_dev-addend f32 sum with
+        #              no cancellation, |fl(sum) - sum| <= (n-1) eps sum|x|,
+        #              applied with sum|x| ~ max|leaf|).
+        # A wrong reduction (dropped scene, double count, bad u_max
+        # allgather) perturbs gradients by O(1/n_dev * |g|), orders above.
+        SAFETY = 16.0
+        EPS32 = 2.0 ** -24
 
-        def grads_ok():
-            # measured cross-process reduction noise: ~6e-6 abs on O(1-10)
-            # gradients; a shard-order / u_max / local-rows bug shifts
-            # gradients by O(0.1-10), five orders above this tolerance
-            keys = [k for k in ref.files if k.startswith("g") and k[1:].isdigit()]
-            return all(
-                np.allclose(ref[k], got[k], rtol=1e-4, atol=1e-5) for k in keys
+        def leaf_keys(prefix):
+            return [k for k in ref.files if k.startswith(prefix) and k[1:].isdigit()]
+
+        def derived_check(prefix):
+            worst_ratio, worst_diff, worst_tol = 0.0, 0.0, 0.0
+            for k in leaf_keys(prefix):
+                if not ref[k].size:
+                    continue
+                a = ref[k].astype(np.float64)
+                b = got[k].astype(np.float64)
+                probe = float(np.max(np.abs(a - rev[k].astype(np.float64))))
+                analytic = 2.0 * (N_GLOBAL - 1) * EPS32 * float(np.max(np.abs(a)))
+                tol = SAFETY * max(probe, analytic) + 1e-9
+                diff = float(np.max(np.abs(a - b)))
+                if diff / tol > worst_ratio:
+                    worst_ratio, worst_diff, worst_tol = diff / tol, diff, tol
+            return worst_ratio <= 1.0, worst_diff, worst_tol, worst_ratio
+
+        g_ok, g_diff, g_tol, g_ratio = derived_check("g")
+        p_ok, p_diff, p_tol, p_ratio = derived_check("p")
+        loss_probe = abs(float(ref["loss0"]) - float(rev["loss0"]))
+        loss_tol = SAFETY * max(
+            loss_probe, 2.0 * (N_GLOBAL - 1) * EPS32 * abs(float(ref["loss0"]))
+        ) + 1e-9
+        loss0_ok = abs(float(ref["loss0"]) - float(got["loss0"])) <= loss_tol
+        losses_ok = bool(
+            np.all(
+                np.abs(ref["losses"] - got["losses"])
+                <= SAFETY * np.maximum(np.abs(ref["losses"] - rev["losses"]),
+                                       EPS32 * np.abs(ref["losses"])) + 1e-9
             )
-
-        g_diff, n_leaves = max_diff("g")
-        p_diff, _ = max_diff("p")
-        loss0_equal = abs(float(ref["loss0"]) - float(got["loss0"])) <= 1e-6 * (
-            1 + abs(float(ref["loss0"]))
         )
-        losses_close = np.allclose(ref["losses"], got["losses"], rtol=1e-5)
-        ok = bool(grads_ok() and loss0_equal and losses_close and p_diff < 5e-3)
+        ok = bool(g_ok and p_ok and loss0_ok and losses_ok)
         verdict = {
             "ok": ok,
-            "loss0_equal": bool(loss0_equal),
-            "losses_close": bool(losses_close),
-            "grads_allclose": bool(grads_ok()),
+            "loss0_ok": bool(loss0_ok),
+            "losses_ok": losses_ok,
+            "grads_ok": bool(g_ok),
+            "params_ok": bool(p_ok),
             "max_abs_grad_diff": g_diff,
+            "derived_grad_tol": g_tol,
+            "grad_tol_ratio": g_ratio,
             "max_abs_param_diff": p_diff,
-            "param_leaves": n_leaves,
+            "derived_param_tol": p_tol,
+            "param_tol_ratio": p_ratio,
+            "derived_loss0_tol": loss_tol,
+            "order_probe_loss0_diff": loss_probe,
+            "param_leaves": len(leaf_keys("p")),
             "steps": STEPS,
+            "safety_factor": SAFETY,
             "ref_losses": [float(x) for x in ref["losses"]],
             "mp_losses": [float(x) for x in got["losses"]],
             "processes": N_PROCESSES,

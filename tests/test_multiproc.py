@@ -35,5 +35,7 @@ def test_two_process_compact_training_matches_single_process():
     assert lines, f"no verdict line; stderr: {proc.stderr[-1000:]}"
     verdict = json.loads(lines[-1])
     assert verdict["ok"], verdict
-    assert verdict["loss0_equal"] and verdict["grads_allclose"], verdict
-    assert verdict["ref_losses"] == verdict["mp_losses"], verdict
+    assert verdict["loss0_ok"] and verdict["grads_ok"], verdict
+    assert verdict["params_ok"] and verdict["losses_ok"], verdict
+    # the tolerances must come from the run's own order-noise probe
+    assert verdict["derived_grad_tol"] > 0 and verdict["derived_param_tol"] > 0
