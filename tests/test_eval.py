@@ -388,3 +388,119 @@ class TestPLY:
             f.write(pts.astype("<f4").tobytes())
         got = load_ply_points(path)
         np.testing.assert_allclose(got, pts, rtol=1e-6)
+
+
+class TestAnalyticEndToEnd:
+    """Full eval_frame -> accuracy_matrix -> summarize chain on a scene whose
+    ENTIRE accuracy matrix is derivable by hand (round-2 verdict item: the
+    strongest in-environment anchor for official-evaluator fidelity).
+
+    Scene: two 14-point objects, each a symmetric inner cluster (12 points,
+    pairwise +-p so the dexnet inner-centroid is exactly zero) plus two
+    contact points on the closing line at y = +-0.018.  Contact normals are
+    constructed analytically, tilted tan(theta) away from the closing axis,
+    so force closure holds exactly when mu >= tan(theta):
+
+      A1  score 0.9 on object A (tan = 0.3)  -> mu* = 0.4
+      B1  score 0.8 on object B (tan = 0.9)  -> mu* = 1.0
+      B2  score 0.7, rotated 180deg about z and shifted +4mm along y: object
+          B's far contact lands at gripper-frame y = 0.022, inside the
+          (0.02, 0.03) right-finger slab                   -> collision, -1
+      B2's rotation also keeps it outside the protocol NMS's rotation
+          threshold, so it survives to the scoring stage.
+      A2  score 0.6, centered 50 mm from object A (beyond the 30 mm NMS
+          translation threshold, assigned to A by nearest-point): no points
+          between the jaws                                 -> empty, -1
+
+    All four survive per-object top-10 and the top-50 min-score cut, so the
+    scored list in dump order is [0.4, 1.0, -1, -1] and every accuracy cell
+    follows the k+1 protocol formula in closed form.
+    """
+
+    W, H, DEP = 0.04, 0.02, 0.04
+
+    @staticmethod
+    def _object(tan_theta):
+        inner = []
+        for i in range(1, 7):
+            p = np.array([0.004, 0.002 * i, 0.0], np.float32)
+            inner += [p, -p]
+        pts = np.stack(inner + [np.array([0.0, -0.018, 0.0], np.float32),
+                                np.array([0.0, 0.018, 0.0], np.float32)])
+        normals = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (14, 1))
+        tilted = np.array([tan_theta, 1.0, 0.0], np.float32)
+        normals[12] = tilted
+        normals[13] = tilted
+        return pts, normals
+
+    def _grasp(self, center, score, rot=np.eye(3, dtype=np.float32)):
+        g = np.zeros(17, np.float32)
+        g[0], g[1], g[2], g[3] = score, self.W, self.H, self.DEP
+        g[4:13] = np.asarray(rot, np.float32).reshape(-1)
+        g[13:16] = center
+        g[16] = -1
+        return g
+
+    def _scene(self):
+        pts_a, n_a = self._object(0.3)
+        pts_b, n_b = self._object(0.9)
+        t_a = np.array([0.0, 0.0, 0.5], np.float32)
+        t_b = np.array([0.3, 0.0, 0.5], np.float32)
+        poses = [
+            np.concatenate([np.eye(3, dtype=np.float32), t[:, None]], 1)
+            for t in (t_a, t_b)
+        ]
+        flip_z = np.diag([-1.0, -1.0, 1.0]).astype(np.float32)
+        grasps = np.stack([
+            self._grasp(t_a, 0.9),
+            self._grasp(t_b, 0.8),
+            self._grasp(t_b + np.array([0.0, 0.004, 0.0], np.float32), 0.7,
+                        rot=flip_z),
+            self._grasp(t_a + np.array([0.05, 0.0, 0.0], np.float32), 0.6),
+        ])
+        return grasps, [pts_a, pts_b], [n_a, n_b], poses
+
+    @staticmethod
+    def _expected():
+        """Hand-derived matrix for the scored list [0.4, 1.0, -1, -1]:
+        cum-hits at mu in {0.2}: none; {0.4, 0.6, 0.8}: [1,1,1,1];
+        {1.0, 1.2}: [1,2,2,2]; cell[k] = hits-so-far / (k+1), with the
+        whole (4-long) list reused beyond k = 3 (k+1 denominator rule)."""
+        exp = np.zeros((50, 6), np.float32)
+        k1 = np.arange(50, dtype=np.float32) + 1.0
+        for fi, mu in enumerate((0.2, 0.4, 0.6, 0.8, 1.0, 1.2)):
+            if mu < 0.4:
+                continue
+            if mu < 1.0:
+                exp[:, fi] = 1.0 / k1
+            else:
+                exp[0, fi] = 1.0
+                exp[1:, fi] = 2.0 / k1[1:]
+        return exp
+
+    def test_whole_accuracy_matrix(self):
+        grasps, clouds, normals, poses = self._scene()
+        acc = eval_frame(grasps, clouds, normals, poses)
+        np.testing.assert_allclose(acc, self._expected(), atol=1e-7)
+
+    def test_summarize_matches_closed_form(self):
+        grasps, clouds, normals, poses = self._scene()
+        acc = eval_frame(grasps, clouds, normals, poses)
+        s = summarize(acc[None])
+        exp = self._expected()
+        assert abs(s["AP"] - 100.0 * exp.mean()) < 1e-4
+        assert abs(s["AP0.8"] - 100.0 * exp[:, 3].mean()) < 1e-4
+        assert abs(s["AP0.4"] - 100.0 * exp[:, 1].mean()) < 1e-4
+
+    def test_table_slab_flips_a1_to_collision(self):
+        """A table point inside A1's right-finger volume turns the best
+        grasp into a collision: scored list becomes [-1, 1.0, -1, -1]."""
+        grasps, clouds, normals, poses = self._scene()
+        table = np.array([[0.0, 0.025, 0.5]], np.float32)
+        acc = eval_frame(grasps, clouds, normals, poses, table=table)
+        exp = np.zeros((50, 6), np.float32)
+        k1 = np.arange(50, dtype=np.float32) + 1.0
+        for fi in (4, 5):  # only B1 (mu* = 1.0) scores
+            exp[0, fi] = 0.0  # first-ranked A1 is a collision
+            exp[1:, fi] = 1.0 / k1[1:]
+        np.testing.assert_allclose(acc, exp, atol=1e-7)
