@@ -38,7 +38,13 @@ class GraspPipeline:
         cfg: GraspNetConfig = GraspNetConfig(),
         checkpoint_path: Optional[str] = None,
         seed: int = 0,
+        mesh: Optional[Any] = None,
     ):
+        """`mesh`: optional 1-D 'data' jax.sharding.Mesh — the raw decode
+        program then shards the scene batch over its devices (params
+        replicated), turning get_grasps_batch into the multi-chip
+        eval-throughput path (parallel.data_parallel_infer).  Batch size
+        must be a multiple of the mesh size."""
         from graspnet_tpu.utils.compile_cache import enable as enable_compile_cache
 
         enable_compile_cache()
@@ -73,8 +79,13 @@ class GraspPipeline:
             grasps, valid = pred_decode(ep, cfg)
             return jax.vmap(lambda g, v: nms_top_k(g, v, k=top_k))(grasps, valid)
 
+        if mesh is not None:
+            from graspnet_tpu.parallel.candidate import data_parallel_infer
+
+            _infer = data_parallel_infer(cfg, mesh)
         self._infer = _infer
         self._infer_topk = _infer_topk
+        self.mesh = mesh
         self.timings = PipelineTimings()
 
     def warmup(

@@ -38,6 +38,12 @@ def parse_args():
         "--batch_size", type=int, default=1,
         help="frames per device batch (amortizes dispatch overhead)",
     )
+    p.add_argument(
+        "--devices", type=int, default=1,
+        help="shard each inference batch over this many local devices "
+        "(scenes round-robin, params replicated); the effective batch is "
+        "batch_size * devices",
+    )
     p.add_argument("--skip_eval", action="store_true")
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument(
@@ -56,10 +62,18 @@ def inference(args, cfg) -> None:
         args.dataset_root, camera=args.camera, split=args.split,
         num_points=cfg.num_point, remove_outlier=True, load_label=False, cfg=cfg,
     )
-    pipe = GraspPipeline(cfg=cfg, checkpoint_path=args.checkpoint_path)
+    mesh = None
+    if getattr(args, "devices", 1) > 1:
+        # multi-device eval: frames round-robin over a 1-D data mesh,
+        # one scene's cloud always whole on one chip (SURVEY §2.9 plan)
+        from graspnet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices)
+    pipe = GraspPipeline(cfg=cfg, checkpoint_path=args.checkpoint_path, mesh=mesh)
     # the loop below runs get_grasps_batch (raw decode program) at batch
     # shape — compile exactly that, not the fused single-frame program
-    compile_s = pipe.warmup(topk=False, batch_size=max(args.batch_size, 1))
+    bs = max(args.batch_size, 1) * max(getattr(args, "devices", 1), 1)
+    compile_s = pipe.warmup(topk=False, batch_size=bs)
     print(f"compile: {compile_s:.1f}s; frames: {len(dataset)}")
 
     import concurrent.futures as cf
@@ -68,12 +82,29 @@ def inference(args, cfg) -> None:
 
     n = len(dataset) if args.max_frames is None else min(args.max_frames, len(dataset))
     timer = StageTimer()
-    bs = max(args.batch_size, 1)
     tic = time.time()
     # thread-pool prefetch: frame PNG decode (~100ms/frame) overlaps with
     # device inference; pool sized to stay ahead of one batch
     pool = cf.ThreadPoolExecutor(max_workers=max(4, bs))
     futures = {i: pool.submit(dataset.get_data, i) for i in range(min(2 * bs, n))}
+    # collision filter + dump run on host threads, overlapped with the next
+    # batch's device inference (the device never waits on the M x N masks)
+    post_pool = cf.ThreadPoolExecutor(max_workers=4)
+    post_futures = []
+
+    def postproc_frame(i, gg):
+        if args.collision_thresh > 0:
+            with timer.stage("collision"):
+                raw_cloud = dataset.get_raw_cloud(i)
+                gg = pipe.collision_filter(
+                    gg, raw_cloud, args.collision_thresh, args.voxel_size
+                )
+        with timer.stage("dump"):
+            scene, frame = dataset.frames[i]
+            save_dir = os.path.join(args.dump_dir, scene, args.camera)
+            os.makedirs(save_dir, exist_ok=True)
+            gg.save_npy(os.path.join(save_dir, f"{frame:04d}.npy"))
+
     with device_trace(args.profile_dir):
         for start in range(0, n, bs):
             ids = list(range(start, min(start + bs, n)))
@@ -84,25 +115,23 @@ def inference(args, cfg) -> None:
                 samples = [futures.pop(i).result() for i in ids]
             with timer.stage("net"):
                 clouds = np.stack([s["point_clouds"] for s in samples])
-                ggs = pipe.get_grasps_batch(clouds)
+                if len(ids) < bs:
+                    # pad the tail batch to the compiled shape (and to the
+                    # mesh divisibility requirement); extra rows discarded
+                    pad = np.repeat(clouds[-1:], bs - len(ids), axis=0)
+                    clouds = np.concatenate([clouds, pad], axis=0)
+                ggs = pipe.get_grasps_batch(clouds)[: len(ids)]
             for i, gg in zip(ids, ggs):
-                if args.collision_thresh > 0:
-                    with timer.stage("collision"):
-                        raw_cloud = dataset.get_raw_cloud(i)
-                        gg = pipe.collision_filter(
-                            gg, raw_cloud, args.collision_thresh, args.voxel_size
-                        )
-                with timer.stage("dump"):
-                    scene, frame = dataset.frames[i]
-                    save_dir = os.path.join(args.dump_dir, scene, args.camera)
-                    os.makedirs(save_dir, exist_ok=True)
-                    gg.save_npy(os.path.join(save_dir, f"{frame:04d}.npy"))
+                post_futures.append(post_pool.submit(postproc_frame, i, gg))
             done = ids[-1] + 1
             if done % 100 < bs:
                 print(
                     f"{done}/{n} frames, {(time.time()-tic)/done*1000:.1f} "
                     f"ms/frame  [{timer.report()}]"
                 )
+    for f in post_futures:
+        f.result()  # surface postproc errors; all dumps complete
+    post_pool.shutdown()
     pool.shutdown(wait=False, cancel_futures=True)
     print(f"inference done: {(time.time()-tic):.1f}s total  [{timer.report()}]")
 

