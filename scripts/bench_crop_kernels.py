@@ -19,7 +19,7 @@ from graspnet_tpu.config import GraspNetConfig
 from graspnet_tpu.models import init_graspnet
 from graspnet_tpu.nn.layers import shared_mlp_init
 
-from slope_timing import timeit  # noqa: E402 — shared harness
+from slope_timing import dump_records, timeit  # noqa: E402 — shared harness
 
 
 def main():
@@ -89,4 +89,11 @@ def main():
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="write the stage_ms JSON here")
+    _args = ap.parse_args()
     main()
+    if _args.out:
+        dump_records(_args.out, source="scripts/bench_crop_kernels.py")

@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from slope_timing import timeit  # noqa: E402
+from slope_timing import dump_records, timeit  # noqa: E402
 
 
 def main():
@@ -110,6 +110,25 @@ def main():
     timeit("shared_mlp train fwd+bwd (remat)", mlp_train_bwd_remat, grouped,
            params["mlp"])
 
+    from graspnet_tpu.ops.pallas.mlp_train import crop_mlp_train_pallas
+
+    def mlp_train_fused(g, p):
+        return crop_mlp_train_pallas(p, g, cfg.bn_eps)
+
+    timeit("fused mlp train fwd (pallas)", mlp_train_fused, grouped,
+           params["mlp"])
+
+    def mlp_train_fused_bwd(g, p):
+        def f(q):
+            pooled, _ = crop_mlp_train_pallas(q, g, cfg.bn_eps)
+            return jnp.sum(pooled * pooled)
+
+        loss, grads = jax.value_and_grad(f)(p)
+        return loss + sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(grads))
+
+    timeit("fused mlp train fwd+bwd (pallas)", mlp_train_fused_bwd, grouped,
+           params["mlp"])
+
     def full_train(x, s, r, p):
         out, stats = heads.crop_forward(p, s, x, r, cfg, train=True)
         return out, stats
@@ -129,4 +148,11 @@ def main():
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="write the stage_ms JSON here")
+    _args = ap.parse_args()
     main()
+    if _args.out:
+        dump_records(_args.out, source="scripts/crop_train_breakdown.py")

@@ -23,7 +23,7 @@ from graspnet_tpu.models import init_graspnet, graspnet_forward, pred_decode
 from graspnet_tpu.models.backbone import backbone_forward
 from graspnet_tpu.models import heads
 
-from slope_timing import timeit  # noqa: E402 — shared harness
+from slope_timing import dump_records, timeit  # noqa: E402 — shared harness
 
 
 def main():
@@ -105,4 +105,11 @@ def main():
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="write the stage_ms JSON here")
+    _args = ap.parse_args()
     main()
+    if _args.out:
+        dump_records(_args.out, source="scripts/device_stage_times.py")

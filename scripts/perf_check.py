@@ -1,0 +1,84 @@
+"""Regression-check committed perf artifacts against a fresh on-chip run.
+
+Round-2 verdict item: perf claims without artifacts rot silently.  Every
+slope-harness script (device_stage_times, bench_crop_kernels,
+crop_train_breakdown, train_stage_times) dumps its stages as
+{stage_ms, backend, source} JSON via --out; this tool re-runs the artifact's
+source script and diffs stage-by-stage:
+
+    python scripts/perf_check.py perf/stage_budget_r3.json [more.json ...]
+
+A stage fails when the fresh time exceeds the committed one by more than
+REL_TOL (slope-method run-to-run noise is ~±20%; the gate only fires on
+REGRESSIONS — getting faster never fails).  Stages present in the artifact
+but absent from the fresh run (renamed/removed) fail loudly.  Exit code 0
+iff every artifact passes.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+REL_TOL = 0.35  # regression threshold on top of the committed value
+ABS_FLOOR_MS = 0.05  # ignore sub-noise stages entirely
+
+
+def check_artifact(path: str) -> bool:
+    with open(path) as f:
+        committed = json.load(f)
+    source = committed["source"]
+    stages = committed["stage_ms"]
+    with tempfile.TemporaryDirectory() as tmp:
+        fresh_path = os.path.join(tmp, "fresh.json")
+        print(f"== {path}: re-running {source} ==")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, source), "--out", fresh_path],
+            cwd=REPO,
+        )
+        if proc.returncode != 0 or not os.path.exists(fresh_path):
+            print(f"FAIL: {source} exited {proc.returncode}")
+            return False
+        with open(fresh_path) as f:
+            fresh = json.load(f)
+    if fresh["backend"] != committed["backend"]:
+        print(
+            f"FAIL: backend mismatch — artifact measured on "
+            f"{committed['backend']!r}, this run is {fresh['backend']!r}"
+        )
+        return False
+    ok = True
+    for name, ms in sorted(stages.items()):
+        got = fresh["stage_ms"].get(name)
+        if got is None:
+            print(f"  MISSING  {name} (committed {ms:.3f} ms)")
+            ok = False
+            continue
+        if ms < ABS_FLOOR_MS and got < ABS_FLOOR_MS:
+            verdict = "ok (sub-noise)"
+        elif got <= ms * (1.0 + REL_TOL) + ABS_FLOOR_MS:
+            verdict = "ok"
+        else:
+            verdict = f"REGRESSION (+{(got / max(ms, 1e-9) - 1) * 100:.0f}%)"
+            ok = False
+        print(f"  {name:55s} {ms:9.3f} -> {got:9.3f} ms  {verdict}")
+    return ok
+
+
+def main() -> int:
+    paths = sys.argv[1:]
+    if not paths:
+        print(__doc__)
+        return 2
+    results = {p: check_artifact(p) for p in paths}
+    print()
+    for p, ok in results.items():
+        print(f"{'PASS' if ok else 'FAIL'}  {p}")
+    return 0 if all(results.values()) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

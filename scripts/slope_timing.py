@@ -53,10 +53,33 @@ def _time(fn_j, args, reps=3):
     return min(ts)
 
 
+# every timeit() call in the process records into this, so perf scripts can
+# dump their whole run as one artifact (scripts/perf_check.py diffs these)
+RECORDS = {}
+
+
 def timeit(name, fn, *args, width=50):
     assert args, "pass inputs as args — closure capture constant-folds (see module docstring)"
     t_lo = _time(_loop(fn, K_LO), args)
     t_hi = _time(_loop(fn, K_HI), args)
     per = (t_hi - t_lo) / (K_HI - K_LO)
     print(f"{name:{width}s} {per*1000:9.3f} ms")
+    RECORDS[name] = round(per * 1000, 4)
     return per
+
+
+def dump_records(path, source, note=None):
+    """Write {stage_ms, backend, source[, note]} JSON for perf/ artifacts."""
+    import json
+
+    payload = {
+        "stage_ms": dict(RECORDS),
+        "backend": jax.default_backend(),
+        "source": source,
+    }
+    if note:
+        payload["note"] = note
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    print(f"wrote {path} ({len(RECORDS)} stages)")

@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from slope_timing import timeit  # noqa: E402
+from slope_timing import dump_records, timeit  # noqa: E402
 
 
 def build_compact_batch(cfg, B=2, seed=0):
@@ -215,4 +215,11 @@ def main():
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="write the stage_ms JSON here")
+    _args = ap.parse_args()
     main()
+    if _args.out:
+        dump_records(_args.out, source="scripts/train_stage_times.py")
