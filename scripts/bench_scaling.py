@@ -26,6 +26,13 @@ def main():
     p.add_argument("--num_point", type=int, default=20000)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--tiny", action="store_true", help="use the tiny config")
+    p.add_argument(
+        "--slope", action="store_true",
+        help="slope-timed DEVICE times of the sharded programs at n=1 "
+        "(anchors the multi-chip latency model on a single real chip; "
+        "the wall-clock loop below is RPC-floor-dominated on the tunnel)",
+    )
+    p.add_argument("--out", default=None, help="with --slope: stage_ms JSON")
     args = p.parse_args()
 
     import jax
@@ -48,6 +55,40 @@ def main():
 
     def sync(x):
         jax.device_get(jax.tree_util.tree_map(lambda a: a.ravel()[:1], x))
+
+    if args.slope:
+        from slope_timing import dump_records, timeit
+
+        from graspnet_tpu.models import graspnet_forward, pred_decode
+        from graspnet_tpu.utils.compile_cache import enable as enable_cache
+
+        enable_cache()
+        cloud1 = jnp.asarray(
+            rng.uniform(-0.3, 0.3, (1, cfg.num_point, 3)), np.float32
+        )
+
+        def plain(p_, c):
+            ep = graspnet_forward(p_, c, cfg, train=False)
+            return pred_decode(ep, cfg)
+
+        # slope harness threads its scan carry through the FIRST argument,
+        # which must be an array -> cloud first, params second
+        timeit("plain forward+decode (n=1)",
+               lambda c, p_: plain(p_, c), cloud1, params)
+        dp1 = data_parallel_infer(cfg, make_mesh(1, ("data",)))
+        timeit("data_parallel_infer (n=1)",
+               lambda c, p_: dp1(p_, c), cloud1, params)
+        cp1 = candidate_sharded_infer(cfg, make_mesh(1, ("candidate",)))
+        timeit("candidate_sharded_infer (n=1)",
+               lambda c, p_: cp1(p_, c), cloud1, params)
+        if args.out:
+            dump_records(
+                args.out, source="scripts/bench_scaling.py",
+                note="slope-timed device ms at n=1: the sharded programs' "
+                "single-chip cost anchors PERF.md's ~3.4 + 2.0/n ms "
+                "candidate-parallel latency model",
+            )
+        return
 
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev_all]
     results = []
