@@ -230,6 +230,18 @@ def crop_forward(
         grouped = grouped.reshape(b, ns, nd, s, 3) - seed_xyz[:, :, None, None, :]
         # rotate offsets into the gripper frame: offset @ R (modules.py:527-530)
         grouped = jnp.einsum("bndsi,bnij->bndsj", grouped, vp_rot)
+    if (
+        train
+        and len(params["mlp"]) == 3
+        and all("bn" in l for l in params["mlp"])
+        and jax.default_backend() == "tpu"
+    ):
+        # fused batch-stats MLP + pool: activations never touch HBM
+        # (ops/pallas/mlp_train.py); XLA path kept for CPU and for sharded
+        # meshes where GSPMD's jnp.mean collectives give sync-BN
+        from graspnet_tpu.ops.pallas.mlp_train import crop_mlp_train_pallas
+
+        return crop_mlp_train_pallas(params["mlp"], grouped, cfg.bn_eps)
     out, stats = nn.shared_mlp(params["mlp"], grouped, train=train, eps=cfg.bn_eps)
     pooled = jnp.max(out, axis=3)  # max over nsample -> (B, Ns, D, C)
     return pooled, stats

@@ -74,6 +74,10 @@ def build_compact_batch(cfg, B=2, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None, help="write summary JSON here")
+    ap.add_argument(
+        "--out", default=None,
+        help="write the harness-standard {stage_ms} JSON here (perf_check)",
+    )
     args = ap.parse_args()
 
     from graspnet_tpu.config import GraspNetConfig
@@ -212,14 +216,9 @@ def main():
                 f,
                 indent=1,
             )
+    if args.out:
+        dump_records(args.out, source="scripts/train_stage_times.py")
 
 
 if __name__ == "__main__":
-    import argparse
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=None, help="write the stage_ms JSON here")
-    _args = ap.parse_args()
     main()
-    if _args.out:
-        dump_records(_args.out, source="scripts/train_stage_times.py")
