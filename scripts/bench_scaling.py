@@ -83,7 +83,7 @@ def main():
                lambda c, p_: cp1(p_, c), cloud1, params)
         if args.out:
             dump_records(
-                args.out, source="scripts/bench_scaling.py",
+                args.out, source="scripts/bench_scaling.py --slope",
                 note="slope-timed device ms at n=1: the sharded programs' "
                 "single-chip cost anchors PERF.md's ~3.4 + 2.0/n ms "
                 "candidate-parallel latency model",

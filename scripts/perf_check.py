@@ -35,8 +35,11 @@ def check_artifact(path: str) -> bool:
     with tempfile.TemporaryDirectory() as tmp:
         fresh_path = os.path.join(tmp, "fresh.json")
         print(f"== {path}: re-running {source} ==")
+        src_parts = source.split()
         proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, source), "--out", fresh_path],
+            [sys.executable, os.path.join(REPO, src_parts[0])]
+            + src_parts[1:]
+            + ["--out", fresh_path],
             cwd=REPO,
         )
         if proc.returncode != 0 or not os.path.exists(fresh_path):
