@@ -123,6 +123,15 @@ def inference(args, cfg) -> None:
                 ggs = pipe.get_grasps_batch(clouds)[: len(ids)]
             for i, gg in zip(ids, ggs):
                 post_futures.append(post_pool.submit(postproc_frame, i, gg))
+            # surface postproc failures immediately instead of after the
+            # whole split has been inferred
+            still = []
+            for fut in post_futures:
+                if fut.done():
+                    fut.result()
+                else:
+                    still.append(fut)
+            post_futures = still
             done = ids[-1] + 1
             if done % 100 < bs:
                 print(
