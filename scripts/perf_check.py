@@ -24,6 +24,8 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 REL_TOL = 0.35  # regression threshold on top of the committed value
+ABS_TOL_MS = 0.3  # absolute slope-harness jitter floor (micro-stages
+#                   jitter by ~0.1-0.2 ms regardless of their own size)
 ABS_FLOOR_MS = 0.05  # ignore sub-noise stages entirely
 
 
@@ -62,7 +64,7 @@ def check_artifact(path: str) -> bool:
             continue
         if ms < ABS_FLOOR_MS and got < ABS_FLOOR_MS:
             verdict = "ok (sub-noise)"
-        elif got <= ms * (1.0 + REL_TOL) + ABS_FLOOR_MS:
+        elif got <= ms * (1.0 + REL_TOL) + ABS_TOL_MS:
             verdict = "ok"
         else:
             verdict = f"REGRESSION (+{(got / max(ms, 1e-9) - 1) * 100:.0f}%)"
