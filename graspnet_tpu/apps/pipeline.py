@@ -79,6 +79,10 @@ class GraspPipeline:
             grasps, valid = pred_decode(ep, cfg)
             return jax.vmap(lambda g, v: nms_top_k(g, v, k=top_k))(grasps, valid)
 
+        # the unsharded programs always exist: a mesh-constructed pipeline
+        # still serves single-frame / non-divisible batches through them
+        # instead of failing GSPMD's P('data') divisibility check (ADVICE r3)
+        self._infer_single = _infer
         if mesh is not None:
             from graspnet_tpu.parallel.candidate import data_parallel_infer
 
@@ -117,7 +121,9 @@ class GraspPipeline:
                 self._infer_topk(self.params, dummy, top_k=top_k or 50)
             )
         else:
-            jax.block_until_ready(self._infer(self.params, dummy))
+            jax.block_until_ready(
+                self._infer_for_batch(batch_size)(self.params, dummy)
+            )
         return time.perf_counter() - t0
 
     def sample_cloud(
@@ -135,10 +141,16 @@ class GraspPipeline:
             )
         return cloud[idxs]
 
+    def _infer_for_batch(self, b: int):
+        """Sharded program when the mesh divides the batch, else unsharded."""
+        if self.mesh is not None and b % self.mesh.devices.size != 0:
+            return self._infer_single
+        return self._infer
+
     def get_grasps(self, cloud_sampled: np.ndarray) -> GraspGroup:
         """Run the network on a (num_point, 3) cloud, return decoded grasps."""
         t0 = time.perf_counter()
-        grasps, valid = self._infer(
+        grasps, valid = self._infer_for_batch(1)(
             self.params, jnp.asarray(cloud_sampled, jnp.float32)[None]
         )
         grasps, valid = jax.device_get((grasps, valid))
@@ -152,7 +164,9 @@ class GraspPipeline:
         over the 190-scene test split runs ~B times fewer program dispatches.
         """
         t0 = time.perf_counter()
-        grasps, valid = self._infer(self.params, jnp.asarray(clouds, jnp.float32))
+        grasps, valid = self._infer_for_batch(len(clouds))(
+            self.params, jnp.asarray(clouds, jnp.float32)
+        )
         grasps, valid = jax.device_get((grasps, valid))
         self.timings.infer_s = time.perf_counter() - t0
         return [GraspGroup(g[v]) for g, v in zip(grasps, valid)]

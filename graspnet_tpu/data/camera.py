@@ -79,6 +79,11 @@ def remove_invisible_grasp_points(
     (reference data_utils.py:91-112): keep label points whose nearest scene
     point is closer than `th` after transforming into the scene frame."""
     trans = transform_point_cloud_np(grasp_points, pose)
+    from graspnet_tpu import native
+
+    vis = native.visible_mask(cloud, trans, th)
+    if vis is not None:  # grid-hash exact test, ~50x the numpy matrix path
+        return vis
     # chunk to bound the (M, N) distance matrix
     out = np.empty(len(trans), dtype=bool)
     step = 4096

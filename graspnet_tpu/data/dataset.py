@@ -129,6 +129,20 @@ class GraspNetDataset:
         self.seed = seed
         self.epoch = 0
 
+        # per-(scene, annotation) collision-zeroed label-view stats, shared
+        # across frames AND epochs (they depend only on the object's full
+        # label slabs + the scene's collision labels) — the compact path
+        # gathers subsampled rows out of these instead of re-reducing
+        # ~35 MB/object of score/width slabs every frame
+        import threading
+
+        self._stat_cache: Dict[Tuple[str, int], tuple] = {}
+        self._stat_lock = threading.Lock()
+        self._stat_bytes = 0
+        self._stat_budget = (
+            int(os.environ.get("GRASPNET_STAT_CACHE_MB", "4096")) * 1024 * 1024
+        )
+
         self.scene_ids = [f"scene_{i:04d}" for i in SPLITS[split]]
         self.frames: List[Tuple[str, int]] = []
         self.collision_labels: Dict[str, Dict[int, np.ndarray]] = {}
@@ -218,6 +232,34 @@ class GraspNetDataset:
         cloud, _, _ = self._load_frame(scene, frame)
         return cloud
 
+    def _object_stats(self, scene: str, ann: int, scores, widths, collision):
+        """Cached (lmin, has, vmax) of the collision-zeroed FULL label slabs.
+
+        Key (scene, annotation index) pins the collision labels; the stats
+        are per-row independent, so per-frame visibility/subsampling reduce
+        to row gathers downstream.  FIFO-evicted under a byte budget
+        (GRASPNET_STAT_CACHE_MB, default 4 GiB).
+        """
+        from graspnet_tpu import native
+
+        key = (scene, ann)
+        with self._stat_lock:
+            hit = self._stat_cache.get(key)
+        if hit is not None:
+            return hit
+        stats = native.label_view_stats_masked(
+            scores, widths, collision, self.cfg.grasp_max_width
+        )
+        nbytes = sum(x.nbytes for x in stats)
+        with self._stat_lock:
+            if key not in self._stat_cache:
+                while self._stat_bytes + nbytes > self._stat_budget and self._stat_cache:
+                    old = self._stat_cache.pop(next(iter(self._stat_cache)))
+                    self._stat_bytes -= sum(x.nbytes for x in old)
+                self._stat_cache[key] = stats
+                self._stat_bytes += nbytes
+        return stats
+
     def get_data_label(self, index: int) -> Dict[str, Any]:
         """Training sample with padded labels + precomputed FPS seed chain."""
         scene, frame = self.frames[index]
@@ -232,6 +274,7 @@ class GraspNetDataset:
         objectness = (seg_s > 0).astype(np.int32)
 
         object_poses, pts_list, scores_list, widths_list, tol_list = [], [], [], [], []
+        objects: List[Dict[str, Any]] = []  # indexed compact-path state
         for i, obj_idx in enumerate(obj_idxs):
             if obj_idx not in self.valid_obj_idxs:
                 continue
@@ -240,6 +283,33 @@ class GraspNetDataset:
             pose = poses[:, :, i]
             points, offsets, scores, tolerance = self.grasp_labels[obj_idx]
             collision = self.collision_labels[scene][i]
+            if self.label_mode == "compact":
+                # indexed path: visibility + subsampling reduce to ROW
+                # INDICES into the shared full label arrays — no (k,V,A,D)
+                # slab copies, no per-frame stats pass (cached per
+                # (scene, ann)).  Identical rng draws to the copy path.
+                if self.remove_invisible:
+                    visible = remove_invisible_grasp_points(
+                        cloud_s[seg_s == obj_idx], points, pose, th=0.01
+                    )
+                    vis_ids = np.flatnonzero(visible)
+                else:
+                    vis_ids = np.arange(len(points), dtype=np.int64)
+                k = min(max(int(len(vis_ids) / 4), 300), len(vis_ids))
+                sel = rng.choice(len(vis_ids), k, replace=False)
+                widths = offsets[..., 2]
+                lmin, has, vmax = self._object_stats(
+                    scene, i, scores, widths, collision
+                )
+                object_poses.append(pose)
+                objects.append(
+                    dict(
+                        rows=vis_ids[sel], points=points, scores=scores,
+                        widths=widths, tol=tolerance, coll=collision,
+                        lmin=lmin, has=has, vmax=vmax,
+                    )
+                )
+                continue
             if self.remove_invisible:
                 visible = remove_invisible_grasp_points(
                     cloud_s[seg_s == obj_idx], points, pose, th=0.01
@@ -270,13 +340,10 @@ class GraspNetDataset:
             # two-phase path: defer the (Ns, V, A, D) slab gathers until the
             # predicted top view is known (Trainer.step_compact); ~100x less
             # host->device label traffic per step, bit-identical step output
-            ctx = lp.prepare_scene_labels(
+            ctx = lp.prepare_scene_labels_indexed(
                 seed_xyz,
                 object_poses,
-                pts_list,
-                scores_list,
-                widths_list,
-                tol_list,
+                objects,
                 self.cfg,
                 max_objects=self.max_objects,
             )
@@ -382,19 +449,25 @@ class DataLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        # per-SAMPLE futures (not per-batch): a batch is assembled from
+        # whichever workers finish its samples, so a 2-scene batch spreads
+        # over 2 cores instead of serializing inside one worker
+        flat = [i for b in batches for i in b]
+        depth = (self.num_workers + 1) * max(self.batch_size, 1)
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
-            futures = [
-                pool.submit(lambda idxs: collate([self.dataset[i] for i in idxs]), b)
-                for b in batches[: self.num_workers + 1]
-            ]
-            next_submit = self.num_workers + 1
-            for i in range(len(batches)):
-                yield futures[i].result()
-                if next_submit < len(batches):
-                    futures.append(
-                        pool.submit(
-                            lambda idxs: collate([self.dataset[i] for i in idxs]),
-                            batches[next_submit],
+            futures = {
+                j: pool.submit(self.dataset.__getitem__, idx)
+                for j, idx in enumerate(flat[:depth])
+            }
+            next_submit = min(depth, len(flat))
+            pos = 0
+            for b in batches:
+                samples = [futures.pop(pos + k).result() for k in range(len(b))]
+                pos += len(b)
+                for _ in range(len(b)):
+                    if next_submit < len(flat):
+                        futures[next_submit] = pool.submit(
+                            self.dataset.__getitem__, flat[next_submit]
                         )
-                    )
-                    next_submit += 1
+                        next_submit += 1
+                yield collate(samples)

@@ -235,10 +235,15 @@ def crop_forward(
         and len(params["mlp"]) == 3
         and all("bn" in l for l in params["mlp"])
         and jax.default_backend() == "tpu"
+        and jax.device_count() == 1
     ):
         # fused batch-stats MLP + pool: activations never touch HBM
-        # (ops/pallas/mlp_train.py); XLA path kept for CPU and for sharded
-        # meshes where GSPMD's jnp.mean collectives give sync-BN
+        # (ops/pallas/mlp_train.py).  XLA path kept for CPU AND for any
+        # multi-device runtime: the kernel's batch statistics are per-call
+        # (unshardable pallas_call), while the data-parallel trainer
+        # documents exact global-batch sync-BN — on a mesh, GSPMD's
+        # jnp.mean collectives deliver that, so the gate requires a
+        # single-device runtime (ADVICE r3 #1)
         from graspnet_tpu.ops.pallas.mlp_train import crop_mlp_train_pallas
 
         return crop_mlp_train_pallas(params["mlp"], grouped, cfg.bn_eps)

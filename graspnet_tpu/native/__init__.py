@@ -72,6 +72,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             f32p, f32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_float, f32p, u8p, f32p,
         ]
+        lib.gn_visible.argtypes = [
+            f32p, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_float, u8p,
+        ]
+        lib.gn_label_view_stats_masked.argtypes = [
+            f32p, ctypes.POINTER(ctypes.c_float), u8p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_float,
+            f32p, u8p, f32p,
+        ]
         lib.gn_greedy_suppress.argtypes = [u8p, i32p, ctypes.c_int, i32p]
         lib.gn_greedy_suppress.restype = ctypes.c_int
         lib.gn_grasp_nms.argtypes = [
@@ -137,6 +145,71 @@ def label_view_stats(scores: np.ndarray, widths: np.ndarray, max_width: float):
     lib.gn_label_view_stats(
         scores.reshape(-1), widths.reshape(-1), npo, v, ad,
         np.float32(max_width), lmin, has, vmax,
+    )
+    return lmin, has.astype(bool), vmax
+
+
+def visible_mask(cloud: np.ndarray, pts: np.ndarray, th: float):
+    """(N,3) scene cloud, (M,3) query points -> (M,) bool visibility.
+
+    Exact grid-hash version of the reference's min-distance < th test
+    (utils/data_utils.py:91-112); returns None when the lib is missing so
+    the caller can fall back to the numpy matrix path.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    cloud = np.ascontiguousarray(cloud, dtype=np.float32)
+    pts = np.ascontiguousarray(pts, dtype=np.float32)
+    out = np.empty(len(pts), dtype=np.uint8)
+    lib.gn_visible(cloud, len(cloud), pts, len(pts), np.float32(th), out)
+    return out.astype(bool)
+
+
+def label_view_stats_masked(
+    scores: np.ndarray,
+    widths: np.ndarray,
+    collision: np.ndarray,
+    max_width: float,
+):
+    """Per-(point, view) stats of the collision-ZEROED full label slabs.
+
+    Bit-identical to label_view_stats(where(collision, 0, scores), widths)
+    without materializing the zeroed copy.  `widths` may be a uniformly
+    strided view (e.g. the width channel offsets[..., 2] of a contiguous
+    (Np, V, A, D, 3) offsets tensor); scores/collision must be contiguous.
+    Used to build the per-(scene, object) stat cache the compact training
+    path gathers rows from (reference graspnet_dataset.py:227-232 zeroing
+    + label_generation.py:111-117 reductions).
+    """
+    scores = np.ascontiguousarray(scores, dtype=np.float32)
+    collision = np.ascontiguousarray(collision).astype(np.uint8, copy=False)
+    npo, v = scores.shape[0], scores.shape[1]
+    ad = int(np.prod(scores.shape[2:], dtype=np.int64)) if scores.ndim > 2 else 1
+    lib = get_lib()
+    widths = np.asarray(widths, dtype=np.float32)
+    if lib is None or npo == 0:
+        zeroed = np.where(collision.reshape(scores.shape).astype(bool), 0.0, scores)
+        return label_view_stats(zeroed, np.ascontiguousarray(widths), max_width)
+    # uniform element stride in floats (contiguous -> 1; offsets[...,2] -> 3)
+    strides = np.array(widths.strides, np.int64) // 4
+    wstride = int(strides[-1]) if widths.ndim else 1
+    # all leading strides must equal wstride * row-major extent products
+    ok = True
+    acc = wstride
+    for dim in range(widths.ndim - 1, 0, -1):
+        acc *= widths.shape[dim]
+        ok = ok and strides[dim - 1] == acc
+    if not ok:
+        widths = np.ascontiguousarray(widths)
+        wstride = 1
+    lmin = np.empty((npo, v), np.float32)
+    has = np.empty((npo, v), np.uint8)
+    vmax = np.empty((npo, v), np.float32)
+    wptr = ctypes.cast(widths.ctypes.data, ctypes.POINTER(ctypes.c_float))
+    lib.gn_label_view_stats_masked(
+        scores.reshape(-1), wptr, collision.reshape(-1), npo, v, ad,
+        np.int64(wstride), np.float32(max_width), lmin, has, vmax,
     )
     return lmin, has.astype(bool), vmax
 

@@ -204,6 +204,106 @@ void gn_label_view_stats(const float* scores, const float* widths,
   }
 }
 
+// Visibility test for object grasp points vs the (object-segment) scene
+// cloud (reference utils/data_utils.py:91-112): point visible iff its
+// nearest scene point is closer than `th`.  Scene points are hashed into a
+// uniform grid with cell edge `th`, so every scene point within distance th
+// of a query lies in one of its 27 neighbor cells (|dx| <= d <= th implies
+// a cell-index delta of at most 1 per axis, boundary included) — the
+// boolean is exact, not approximate.  The final comparison mirrors the
+// numpy path's norm-then-compare: sqrtf is correctly rounded and monotone,
+// so sqrtf(min d2) < th decides identically to min(sqrt d2) < th.
+void gn_visible(const float* cloud, int n, const float* pts, int m, float th,
+                unsigned char* out) {
+  if (n == 0) {
+    for (int i = 0; i < m; ++i) out[i] = 0;
+    return;
+  }
+  const float inv = 1.0f / th;
+  auto cell = [inv](float v) -> int64_t {
+    return (int64_t)std::floor((double)v * inv);
+  };
+  auto key3 = [](int64_t a, int64_t b, int64_t c) -> uint64_t {
+    const uint64_t M = 2097152ull;  // 21-bit per axis, as in voxel kernel
+    return ((uint64_t)(a & 0x1FFFFF) * M + (uint64_t)(b & 0x1FFFFF)) * M +
+           (uint64_t)(c & 0x1FFFFF);
+  };
+  // bucket scene point indices per cell
+  std::unordered_map<uint64_t, std::vector<int>> grid;
+  grid.reserve(n / 2 + 16);
+  for (int k = 0; k < n; ++k) {
+    grid[key3(cell(cloud[k * 3]), cell(cloud[k * 3 + 1]),
+              cell(cloud[k * 3 + 2]))]
+        .push_back(k);
+  }
+#pragma omp parallel for schedule(static)
+  for (int i = 0; i < m; ++i) {
+    const float qx = pts[i * 3], qy = pts[i * 3 + 1], qz = pts[i * 3 + 2];
+    const int64_t cx = cell(qx), cy = cell(qy), cz = cell(qz);
+    unsigned char vis = 0;
+    for (int64_t a = cx - 1; a <= cx + 1 && !vis; ++a)
+      for (int64_t b = cy - 1; b <= cy + 1 && !vis; ++b)
+        for (int64_t c = cz - 1; c <= cz + 1 && !vis; ++c) {
+          auto it = grid.find(key3(a, b, c));
+          if (it == grid.end()) continue;
+          for (int k : it->second) {
+            const float dx = cloud[k * 3] - qx;
+            const float dy = cloud[k * 3 + 1] - qy;
+            const float dz = cloud[k * 3 + 2] - qz;
+            const float d2 = dx * dx + dy * dy + dz * dz;
+            if (std::sqrt(d2) < th) {
+              vis = 1;
+              break;
+            }
+          }
+        }
+    out[i] = vis;
+  }
+}
+
+// Collision-masked variant over FULL per-object label slabs, for the
+// per-(scene, object) stat cache (label_pipeline.object_label_stats): the
+// dataset zeroes collision elements of scores/tolerance
+// (reference graspnet_dataset.py:227-232) BEFORE the per-view reductions,
+// so here masked elements contribute 0 to the raw max and are excluded
+// from the (score > 0) min — bit-identical to running the unmasked kernel
+// on a zeroed copy, without materializing that copy.  `wstride` is the
+// element stride of the width array in floats (the width channel of the
+// (Np, V, A, D, 3) offsets tensor has stride 3), so no contiguous width
+// copy is needed either.
+void gn_label_view_stats_masked(const float* scores, const float* widths,
+                                const unsigned char* coll, int64_t np_, int v,
+                                int ad, int64_t wstride, float max_width,
+                                float* lmin, unsigned char* has, float* vmax) {
+#pragma omp parallel for schedule(static)
+  for (int64_t p = 0; p < np_; ++p) {
+    const float* sp = scores + p * (int64_t)v * ad;
+    const float* wp = widths + p * (int64_t)v * ad * wstride;
+    const unsigned char* cp = coll + p * (int64_t)v * ad;
+    for (int i = 0; i < v; ++i) {
+      const float* sv = sp + (int64_t)i * ad;
+      const float* wv = wp + (int64_t)i * ad * wstride;
+      const unsigned char* cv = cp + (int64_t)i * ad;
+      float mn = INFINITY, mx = -INFINITY;
+      int hc = 0;
+#pragma omp simd reduction(min : mn) reduction(max : mx) reduction(+ : hc)
+      for (int j = 0; j < ad; ++j) {
+        const bool zeroed = cv[j] != 0;
+        const float x = zeroed ? 0.f : sv[j];
+        mx = x > mx ? x : mx;
+        const bool keep = (x > 0.f) & (wv[j * wstride] <= max_width);
+        const float c = keep ? x : INFINITY;
+        mn = c < mn ? c : mn;
+        hc += keep ? 1 : 0;
+      }
+      const int64_t o = p * (int64_t)v + i;
+      lmin[o] = mn;
+      has[o] = hc ? 1 : 0;
+      vmax[o] = mx;
+    }
+  }
+}
+
 // Greedy suppression pass for grasp NMS (postproc/nms.py): visit candidates
 // in `order`; keep a candidate unless suppressed, then suppress everything
 // its `close` row marks.  close is a row-major (m, m) 0/1 matrix.
@@ -255,6 +355,6 @@ int gn_grasp_nms(const float* t, const float* r, const int* order, int m,
   return nk;
 }
 
-int gn_version() { return 3; }
+int gn_version() { return 4; }
 
 }  // extern "C"

@@ -368,6 +368,8 @@ def finalize_scene_labels(
     same float32 operands — log(u_max/x) is strictly decreasing, hence the
     full path's max-over-(A,D) of rescaled scores is the rescale of lmin).
     """
+    if isinstance(ctx, IndexedSceneLabelContext):
+        return _finalize_indexed(ctx, top_view, cfg)
     ns, a, d = ctx.ns, cfg.num_angle, cfg.num_depth
     v = cfg.num_view
     top_view = np.asarray(top_view, np.int64)
@@ -397,6 +399,158 @@ def finalize_scene_labels(
         "matched_label_raw": label,
         "batch_grasp_width": width,
         "batch_grasp_tolerance": tol,
+        "view_lmin": np.where(view_has, view_lmin, 1.0).astype(np.float32),
+        "view_has": view_has,
+    }
+
+
+# ------------------------------------------- indexed compact path (round 4) --
+#
+# The compact path above still materializes per-frame SUBSAMPLED copies of
+# every object's (k, V, A, D) score/width/tolerance slabs (~0.5 GB of fancy-
+# index copies per frame at the reference operating point) plus a fresh
+# per-view stats pass — only for phase B to gather ~1024 (A, D) slabs out of
+# them.  The indexed path stops copying: the per-frame state is just the
+# subsampled ROW INDICES into the full per-object label arrays (which are
+# shared across frames/epochs), and the per-(point, view) stats of the
+# collision-zeroed full arrays are computed once per (scene, object) and
+# cached (GraspNetDataset._object_stats) — rows of them are gathered per
+# frame.  Phase B gathers matched slabs straight from the full arrays with
+# collision zeroing applied at gather time.  Every gathered element is the
+# identical float32 the copy-based path would have produced, so the step
+# stays bit-identical (tests/test_labels.py::test_indexed_compact_bitwise).
+
+
+class IndexedSceneLabelContext:
+    """Compact-path per-scene state holding row indices + full-array refs."""
+
+    __slots__ = (
+        "grasp_points", "seed_obj", "seed_local", "obj_view_rot",
+        "view_inds_per_obj", "rows_per_obj", "scores_full", "widths_full",
+        "tol_full", "coll_full", "lmin_rows", "has_rows", "scene_umax", "ns",
+    )
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def prepare_scene_labels_indexed(
+    seed_xyz: np.ndarray,
+    object_poses: Sequence[np.ndarray],
+    objects: Sequence[Dict[str, np.ndarray]],
+    cfg: GraspNetConfig,
+    max_objects: int = 16,
+) -> IndexedSceneLabelContext:
+    """Phase A of the indexed compact path.
+
+    `objects[o]` carries, per valid object: 'rows' (subsampled row indices
+    into the FULL label arrays, visibility already applied), full-array
+    references 'points'/'scores'/'widths'/'tol'/'coll' (widths may be the
+    strided offsets[..., 2] view), and the cached collision-zeroed stats
+    'lmin'/'has'/'vmax' over full rows ((Np, V) each, object-frame views).
+    Mirrors prepare_scene_labels exactly (label_generation.py:30-109) with
+    row gathers replacing materialized subsample copies.
+    """
+    v = cfg.num_view
+    n_obj = len(objects)
+    assert 1 <= n_obj <= max_objects
+
+    points_merged, point_obj, point_local = [], [], []
+    view_inds_per_obj: List[np.ndarray] = []
+    obj_view_rot = np.zeros((max_objects, v, 3, 3), dtype=np.float32)
+    for o, ob in enumerate(objects):
+        pose = np.asarray(object_poses[o], dtype=np.float32)
+        pts = ob["points"][ob["rows"]].astype(np.float32)
+        points_merged.append(pts @ pose[:3, :3].T + pose[:3, 3])
+        point_obj.append(np.full(len(pts), o, dtype=np.int32))
+        point_local.append(np.arange(len(pts), dtype=np.int32))
+        view_inds, rot_trans = assign_views(pose[:3, :3], v)
+        view_inds_per_obj.append(view_inds)
+        obj_view_rot[o] = rot_trans
+
+    points_merged = np.concatenate(points_merged, axis=0)
+    point_obj = np.concatenate(point_obj)
+    point_local = np.concatenate(point_local)
+
+    from graspnet_tpu import native
+
+    nn = native.nearest(seed_xyz.astype(np.float32), points_merged)  # (Ns,)
+    seed_obj = point_obj[nn]
+    seed_local = point_local[nn]
+
+    lmin_rows, has_rows = [], []
+    scene_umax = np.float32(-np.inf)
+    for o, ob in enumerate(objects):
+        rows = ob["rows"]
+        # contiguous row gather only; the canonical-view re-index happens in
+        # phase B over the (smaller) per-seed selection, as in the copy path
+        lmin_rows.append(np.take(ob["lmin"], rows, axis=0))  # (k, V) obj-frame
+        has_rows.append(np.take(ob["has"], rows, axis=0))
+        sel = np.unique(seed_local[seed_obj == o])
+        if len(sel):
+            vm = ob["vmax"][rows[sel]][:, view_inds_per_obj[o]]
+            scene_umax = max(scene_umax, vm.max())
+
+    return IndexedSceneLabelContext(
+        grasp_points=points_merged[nn].astype(np.float32),
+        seed_obj=seed_obj.astype(np.int32),
+        seed_local=seed_local.astype(np.int32),
+        obj_view_rot=obj_view_rot,
+        view_inds_per_obj=view_inds_per_obj,
+        rows_per_obj=[np.asarray(ob["rows"], np.int64) for ob in objects],
+        scores_full=[ob["scores"] for ob in objects],
+        widths_full=[ob["widths"] for ob in objects],
+        tol_full=[ob["tol"] for ob in objects],
+        coll_full=[ob["coll"] for ob in objects],
+        lmin_rows=lmin_rows,
+        has_rows=has_rows,
+        scene_umax=np.float32(scene_umax),
+        ns=seed_xyz.shape[0],
+    )
+
+
+def _finalize_indexed(
+    ctx: IndexedSceneLabelContext, top_view: np.ndarray, cfg: GraspNetConfig
+) -> Dict[str, np.ndarray]:
+    """Phase B of the indexed path: gather matched slabs from full arrays.
+
+    Collision zeroing of scores/tolerance (reference
+    graspnet_dataset.py:227-232) is applied to the gathered elements —
+    bit-identical to gathering from pre-zeroed subsample copies.  Widths
+    are NOT zeroed, as in the reference.
+    """
+    ns, a, d = ctx.ns, cfg.num_angle, cfg.num_depth
+    v = cfg.num_view
+    top_view = np.asarray(top_view, np.int64)
+
+    label = np.zeros((ns, a, d), np.float32)
+    width = np.zeros((ns, a, d), np.float32)
+    tol = np.zeros((ns, a, d), np.float32)
+    view_lmin = np.zeros((ns, v), np.float32)
+    view_has = np.zeros((ns, v), np.bool_)
+    for o in range(len(ctx.rows_per_obj)):
+        sel = np.nonzero(ctx.seed_obj == o)[0]
+        if len(sel) == 0:
+            continue
+        vi = ctx.view_inds_per_obj[o]
+        lp = ctx.seed_local[sel]
+        r = ctx.rows_per_obj[o][lp]
+        ov = vi[top_view[sel]]
+        c = ctx.coll_full[o][r, ov]  # (nsel, A, D) bool
+        label[sel] = np.where(c, 0.0, ctx.scores_full[o][r, ov])
+        width[sel] = ctx.widths_full[o][r, ov]
+        tol[sel] = np.where(c, 0.0, ctx.tol_full[o][r, ov])
+        view_lmin[sel] = ctx.lmin_rows[o][np.ix_(lp, vi)]
+        view_has[sel] = ctx.has_rows[o][np.ix_(lp, vi)]
+
+    rot = ctx.obj_view_rot[ctx.seed_obj, top_view]
+    return {
+        "batch_grasp_point": ctx.grasp_points,
+        "batch_grasp_view_rot": rot.astype(np.float32),
+        "matched_label_raw": label.astype(np.float32),
+        "batch_grasp_width": width.astype(np.float32),
+        "batch_grasp_tolerance": tol.astype(np.float32),
         "view_lmin": np.where(view_has, view_lmin, 1.0).astype(np.float32),
         "view_has": view_has,
     }

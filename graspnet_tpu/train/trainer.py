@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -149,6 +150,7 @@ class Trainer:
             mask=weight_decay_mask,
         )
         self.opt_state = self.tx.init(self.params)
+        self._finalize_pool = None  # lazy thread pool for phase-B labels
         self.params = replicate(self.mesh, self.params)
         self.opt_state = replicate(self.mesh, self.opt_state)
         self.epoch = 0
@@ -316,10 +318,24 @@ class Trainer:
             top_np = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
         else:
             top_np = np.asarray(jax.device_get(top))
-        matched = [
-            finalize_scene_labels(c, top_np[i], self.cfg)
-            for i, c in enumerate(ctxs)
-        ]
+        if len(ctxs) > 1:
+            # phase B sits on the critical path between the top-view fetch
+            # and the step dispatch; the per-scene slab gathers are
+            # independent numpy work, so run them on a thread per scene
+            if self._finalize_pool is None:
+                import concurrent.futures as cf
+
+                self._finalize_pool = cf.ThreadPoolExecutor(
+                    min(4, len(os.sched_getaffinity(0)))
+                )
+            matched = list(
+                self._finalize_pool.map(
+                    lambda ic: finalize_scene_labels(ic[1], top_np[ic[0]], self.cfg),
+                    enumerate(ctxs),
+                )
+            )
+        else:
+            matched = [finalize_scene_labels(ctxs[0], top_np[0], self.cfg)]
         labels = {
             k: np.stack([m[k] for m in matched]) for k in matched[0]
         }

@@ -42,8 +42,13 @@ class StageTimer:
     """Host-side cumulative stage timer (reference demo.py:507-580 pattern)."""
 
     def __init__(self):
+        import threading
+
         self.totals: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
+        # apps/test.py shares one timer across postproc worker threads; the
+        # read-modify-write accumulation must not lose updates (ADVICE r3)
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str) -> Iterator[None]:
@@ -52,8 +57,9 @@ class StageTimer:
             yield
         finally:
             dt = time.perf_counter() - t0
-            self.totals[name] = self.totals.get(name, 0.0) + dt
-            self.counts[name] = self.counts.get(name, 0) + 1
+            with self._lock:
+                self.totals[name] = self.totals.get(name, 0.0) + dt
+                self.counts[name] = self.counts.get(name, 0) + 1
 
     def summary(self) -> Dict[str, float]:
         """Mean seconds per stage."""

@@ -120,7 +120,7 @@ class TestDataset:
         assert s["sa_inds"]["sa1"].shape == (cfg.sa1.npoint,)
 
     def test_get_data_label_compact(self, fake_root, cfg):
-        from graspnet_tpu.train.label_pipeline import SceneLabelContext
+        from graspnet_tpu.train.label_pipeline import IndexedSceneLabelContext
 
         valid, labels = ds.load_grasp_labels(fake_root, num_objects=3)
         d = ds.GraspNetDataset(
@@ -129,7 +129,7 @@ class TestDataset:
             remove_invisible=False, augment=True,  # label_mode default=compact
         )
         s = d[0]
-        assert isinstance(s["label_ctx"], SceneLabelContext)
+        assert isinstance(s["label_ctx"], IndexedSceneLabelContext)
         assert s["label_ctx"].grasp_points.shape == (cfg.num_seed, 3)
         assert "grasp_labels" not in s  # no (Ns, V, A, D) slab materialized
         # collate keeps contexts as a plain list

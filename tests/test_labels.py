@@ -222,3 +222,68 @@ def test_compact_path_matches_full_path_bitwise(rng):
         np.asarray(out["batch_grasp_view_label"][0]),
         np.asarray(ep["batch_grasp_view_label"][0]),
     )
+
+
+def test_indexed_compact_matches_copy_compact_bitwise(rng):
+    """Indexed ctx (row indices + cached masked stats over full arrays) ==
+    copy-based ctx (pre-zeroed subsampled slabs), bit for bit — the round-4
+    loader redesign must not move a single float."""
+    from graspnet_tpu import native
+
+    cfg = GraspNetConfig.tiny()
+    v, a, d = cfg.num_view, cfg.num_angle, cfg.num_depth
+    n_obj, np_full = 3, 60
+    poses, objects = [], []
+    pts_sub, scores_sub, widths_sub, tol_sub = [], [], [], []
+    for _ in range(n_obj):
+        A = rng.normal(size=(3, 3))
+        R = np.linalg.qr(A)[0].astype(np.float32)
+        if np.linalg.det(R) < 0:
+            R[:, 0] *= -1
+        t = rng.uniform(-0.3, 0.3, 3).astype(np.float32)
+        poses.append(np.concatenate([R, t[:, None]], axis=1))
+        pts = rng.uniform(-0.05, 0.05, (np_full, 3)).astype(np.float32)
+        scores = rng.uniform(0, 1.2, (np_full, v, a, d)).astype(np.float32)
+        offsets = rng.uniform(0, 0.15, (np_full, v, a, d, 3)).astype(np.float32)
+        tol = rng.uniform(0, 0.05, (np_full, v, a, d)).astype(np.float32)
+        coll = rng.random((np_full, v, a, d)) < 0.2
+        widths = offsets[..., 2]  # strided view, like the dataset's
+        # visibility + subsample -> row indices (the dataset's new path)
+        vis_ids = np.flatnonzero(rng.random(np_full) < 0.8)
+        rows = vis_ids[rng.choice(len(vis_ids), 30, replace=False)]
+        lmin, has, vmax = native.label_view_stats_masked(
+            scores, widths, coll, cfg.grasp_max_width
+        )
+        objects.append(
+            dict(rows=rows, points=pts, scores=scores, widths=widths,
+                 tol=tol, coll=coll, lmin=lmin, has=has, vmax=vmax)
+        )
+        # copy path: zero AFTER subsampling, like the old dataset loop
+        s = scores[rows].copy()
+        tl = tol[rows].copy()
+        c = coll[rows]
+        s[c] = 0.0
+        tl[c] = 0.0
+        pts_sub.append(pts[rows])
+        scores_sub.append(s)
+        widths_sub.append(np.ascontiguousarray(widths[rows]))
+        tol_sub.append(tl)
+
+    seed_xyz = rng.uniform(-0.4, 0.4, (cfg.num_seed, 3)).astype(np.float32)
+    ctx_old = lp.prepare_scene_labels(
+        seed_xyz, poses, pts_sub, scores_sub, widths_sub, tol_sub, cfg,
+        max_objects=4,
+    )
+    ctx_new = lp.prepare_scene_labels_indexed(
+        seed_xyz, poses, objects, cfg, max_objects=4
+    )
+    assert float(ctx_new.scene_umax) == float(ctx_old.scene_umax)
+    np.testing.assert_array_equal(ctx_new.seed_obj, ctx_old.seed_obj)
+    np.testing.assert_array_equal(ctx_new.grasp_points, ctx_old.grasp_points)
+
+    top = rng.integers(0, v, cfg.num_seed).astype(np.int32)
+    fin_old = lp.finalize_scene_labels(ctx_old, top, cfg)
+    fin_new = lp.finalize_scene_labels(ctx_new, top, cfg)
+    assert set(fin_old) == set(fin_new)
+    for k in fin_old:
+        np.testing.assert_array_equal(fin_new[k], fin_old[k], err_msg=k)

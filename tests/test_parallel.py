@@ -141,3 +141,29 @@ class TestProductionShape:
         grasps_r, valid_r = jax.device_get(reference_infer(params, clouds, cfg))
         np.testing.assert_array_equal(valid_s, valid_r)
         np.testing.assert_allclose(grasps_s, grasps_r, atol=5e-7, rtol=0)
+
+
+class TestMeshPipelineFallback:
+    @pytest.mark.slow
+    def test_single_frame_on_mesh_pipeline(self, tiny):
+        """A mesh-constructed GraspPipeline must serve batch-1 (and other
+        non-divisible) calls through the unsharded program instead of
+        failing GSPMD's P('data') divisibility requirement (ADVICE r3)."""
+        from graspnet_tpu.apps.pipeline import GraspPipeline
+
+        cfg, params = tiny
+        mesh = make_mesh(8, axis_names=("data",))
+        pipe = GraspPipeline(cfg=cfg, mesh=mesh)
+        pipe.params = params
+        rng = np.random.default_rng(3)
+        cloud = rng.uniform(-0.3, 0.3, (cfg.num_point, 3)).astype(np.float32)
+        gg = pipe.get_grasps(cloud)  # batch 1: falls back, must not raise
+        pipe_ref = GraspPipeline(cfg=cfg)
+        pipe_ref.params = params
+        gg_ref = pipe_ref.get_grasps(cloud)
+        np.testing.assert_allclose(
+            gg.grasp_group_array, gg_ref.grasp_group_array, atol=1e-6
+        )
+        # divisible batch still routes through the sharded program
+        assert pipe._infer_for_batch(8) is pipe._infer
+        assert pipe._infer_for_batch(1) is pipe._infer_single
