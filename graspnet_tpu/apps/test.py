@@ -57,11 +57,19 @@ def parse_args():
     return p.parse_args()
 
 
-def inference(args, cfg) -> None:
-    dataset = GraspNetDataset(
-        args.dataset_root, camera=args.camera, split=args.split,
-        num_points=cfg.num_point, remove_outlier=True, load_label=False, cfg=cfg,
-    )
+def inference(args, cfg, dataset=None):
+    """Dump grasps for a split; returns {total_s, ms_per_frame, stages}.
+
+    `dataset` injection lets the app-level throughput bench
+    (scripts/bench_test_app.py) run this exact loop over synthetic
+    production-shape frames without a dataset on disk.
+    """
+    if dataset is None:
+        dataset = GraspNetDataset(
+            args.dataset_root, camera=args.camera, split=args.split,
+            num_points=cfg.num_point, remove_outlier=True, load_label=False,
+            cfg=cfg,
+        )
     mesh = None
     if getattr(args, "devices", 1) > 1:
         # multi-device eval: frames round-robin over a 1-D data mesh,
@@ -142,7 +150,15 @@ def inference(args, cfg) -> None:
         f.result()  # surface postproc errors; all dumps complete
     post_pool.shutdown()
     pool.shutdown(wait=False, cancel_futures=True)
-    print(f"inference done: {(time.time()-tic):.1f}s total  [{timer.report()}]")
+    total_s = time.time() - tic
+    print(f"inference done: {total_s:.1f}s total  [{timer.report()}]")
+    return {
+        "total_s": total_s,
+        "ms_per_frame": total_s / max(n, 1) * 1000,
+        "frames": n,
+        "compile_s": compile_s,
+        "stages_ms": {k: v * 1000 for k, v in timer.summary().items()},
+    }
 
 
 def evaluate(args) -> None:

@@ -49,7 +49,10 @@ class SyntheticGraspNetDataset(GraspNetDataset):
         augment: bool = True,
         label_mode: str = "compact",
         seed: int = 0,
+        with_labels: bool = True,
     ):
+        """with_labels=False skips the (big) label-slab fabrication for
+        inference-only benchmarks (load_label=False paths)."""
         rng = np.random.default_rng(seed)
         v, a, d = cfg.num_view, cfg.num_angle, cfg.num_depth
 
@@ -63,6 +66,9 @@ class SyntheticGraspNetDataset(GraspNetDataset):
             oid = o + 1
             valid_obj_idxs.append(oid)
             pts = rng.uniform(-0.04, 0.04, (label_points, 3)).astype(np.float32)
+            if not with_labels:
+                grasp_labels[oid] = (pts, None, None, None)
+                continue
             scores = rng.uniform(0.0, 1.2, (label_points, v, a, d)).astype(np.float32)
             # ~15% infeasible (score 0), like real friction labels
             scores[rng.random((label_points, v, a, d)) < 0.15] = 0.0
@@ -76,9 +82,14 @@ class SyntheticGraspNetDataset(GraspNetDataset):
         # one scene: per-frame randomness comes from the dataset's
         # per-(frame, epoch) RNG, exactly as in real training
         scene = "scene_synth"
-        collision = {
-            o: rng.random((label_points, v, a, d)) < 0.1 for o in range(n_objects)
-        }
+        collision = (
+            {
+                o: rng.random((label_points, v, a, d)) < 0.1
+                for o in range(n_objects)
+            }
+            if with_labels
+            else {}
+        )
 
         # scene cloud: background table plane + per-object surfaces that are
         # jittered subsets of the transformed label points
@@ -123,7 +134,7 @@ class SyntheticGraspNetDataset(GraspNetDataset):
             remove_outlier=False,
             remove_invisible=True,
             augment=augment,
-            load_label=True,
+            load_label=with_labels,
             cfg=cfg,
             seed=seed,
             label_mode=label_mode,

@@ -8,6 +8,8 @@ echo "== fast tier =="
 python -m pytest tests/ -q -m "not slow" -x
 echo "== slow tier (full suite) =="
 python -m pytest tests/ -q
+echo "== overfit convergence gate (tiny, CPU) =="
+JAX_PLATFORMS=cpu python scripts/overfit_gate.py --tiny
 echo "== multi-process trainer check =="
 python scripts/multiproc_check.py
 echo "== multichip dryrun (8 virtual devices) =="

@@ -1,0 +1,112 @@
+"""Overfit convergence gate (VERDICT r3 item #6).
+
+Trains on a FIXED 4-frame synthetic dataset (geometrically coherent
+objectness: blob points on a table plane, graspnet_tpu.data.synthetic) and
+requires, within a step budget, BOTH
+  - total loss below an absolute threshold, and
+  - stage-1 objectness accuracy above an absolute threshold.
+
+This catches slow gradient corruption that the 12-step descent smoke
+(scripts/tpu_train_smoke.py) cannot: a subtly wrong BN update or a biased
+gradient still lets the loss fall 10% but prevents memorizing 4 frames.
+Mirrors the reference training recipe end to end (train.py:96-157) through
+the real dataset/loader/compact-label path.
+
+    python scripts/overfit_gate.py --tiny            # CPU CI twin (slow tier)
+    python scripts/overfit_gate.py                   # on-chip, full config
+
+Thresholds were calibrated with ~2x margin on healthy runs (see --help
+defaults); failures print the full trajectory.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="tiny config (CPU CI)")
+    ap.add_argument("--steps", type=int, default=None, help="step budget")
+    ap.add_argument("--loss_thresh", type=float, default=None)
+    ap.add_argument("--acc_thresh", type=float, default=0.9)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from graspnet_tpu.config import GraspNetConfig
+    from graspnet_tpu.data.dataset import DataLoader
+    from graspnet_tpu.data.synthetic import SyntheticGraspNetDataset
+    from graspnet_tpu.train.trainer import Trainer, TrainConfig
+    from graspnet_tpu.utils.compile_cache import enable
+
+    enable()
+    if args.tiny:
+        cfg = GraspNetConfig.tiny()
+        ds = SyntheticGraspNetDataset(
+            n_frames=4, n_objects=3, label_points=48, cloud_points=2048,
+            num_points=cfg.num_point, cfg=cfg, augment=False, seed=7,
+        )
+        # healthy run: loss<4 at ~step 100, acc=1.0 from step 70 — 2.4x
+        # step margin (calibration trajectory in the r4 commit message)
+        budget = args.steps or 240
+        loss_thresh = args.loss_thresh if args.loss_thresh is not None else 4.0
+    else:
+        cfg = GraspNetConfig()
+        ds = SyntheticGraspNetDataset(
+            n_frames=4, cfg=cfg, augment=False, seed=7
+        )
+        # healthy on-chip run: loss<3 at ~step 32, plateau 2.28, acc=1.0
+        # from step 10 — ~3.7x step margin
+        budget = args.steps or 120
+        loss_thresh = args.loss_thresh if args.loss_thresh is not None else 3.0
+
+    print(f"backend: {jax.default_backend()}")
+    trainer = Trainer(cfg=cfg, tc=TrainConfig(batch_size=2), seed=0)
+    trainer.set_epoch(0)
+    loader = DataLoader(ds, 2, shuffle=False, num_workers=2)
+
+    step = 0
+    t0 = time.time()
+    hist = []
+    while step < budget:
+        for batch in loader:  # fixed frames: epoch 0 sampling, no augment
+            loss, metrics = trainer.step_compact(batch)
+            step += 1
+            if step >= budget:
+                break
+        loss_v = float(jax.device_get(loss))
+        acc_v = float(jax.device_get(metrics["stage1_objectness_acc"]))
+        hist.append((step, round(loss_v, 3), round(acc_v, 3)))
+        if loss_v < loss_thresh and acc_v > args.acc_thresh:
+            print(
+                json.dumps(
+                    {
+                        "metric": "overfit gate",
+                        "converged_at_step": step,
+                        "loss": loss_v,
+                        "objectness_acc": acc_v,
+                        "loss_thresh": loss_thresh,
+                        "acc_thresh": args.acc_thresh,
+                        "wall_s": round(time.time() - t0, 1),
+                        "backend": jax.default_backend(),
+                    }
+                )
+            )
+            print("OK: overfit gate converged")
+            return 0
+    print(f"trajectory (step, loss, objectness_acc): {hist}")
+    print(
+        f"FAIL: no convergence to loss<{loss_thresh} and "
+        f"acc>{args.acc_thresh} within {budget} steps"
+    )
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -139,3 +139,62 @@ def test_orbax_roundtrip(tmp_path):
         jax.tree_util.tree_leaves_with_path(restored),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def params_to_reference_state_dict(params):
+    """Inverse of convert_torch_state_dict: params pytree -> torch state dict
+    with the reference's exact module names/shapes.  Used by the rehearsal
+    (tests/test_rehearsal.py) to fabricate a 'published' checkpoint whose
+    weights are a healthy init instead of raw noise."""
+    sd = {}
+
+    def put_conv(prefix, layer, ndim):
+        w = np.asarray(layer["kernel"]).T  # (out, in)
+        sd[f"{prefix}.weight"] = torch.from_numpy(
+            w.reshape(w.shape + (1,) * ndim).copy()
+        )
+        if "bias" in layer:
+            sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(layer["bias"]).copy())
+
+    def put_bn(prefix, bn_p):
+        sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(bn_p["scale"]).copy())
+        sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(bn_p["offset"]).copy())
+        sd[f"{prefix}.running_mean"] = torch.from_numpy(np.asarray(bn_p["mean"]).copy())
+        sd[f"{prefix}.running_var"] = torch.from_numpy(np.asarray(bn_p["var"]).copy())
+        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0)
+
+    def put_mlp(prefix, layers):
+        for i, layer in enumerate(layers):
+            put_conv(f"{prefix}.layer{i}.conv", layer, ndim=2)
+            if "bn" in layer:
+                put_bn(f"{prefix}.layer{i}.bn.bn", layer["bn"])
+
+    bb = "view_estimator.backbone"
+    for k in ("sa1", "sa2", "sa3", "sa4"):
+        put_mlp(f"{bb}.{k}.mlp_module", params["backbone"][k]["mlp"])
+    for k in ("fp1", "fp2"):
+        put_mlp(f"{bb}.{k}.mlp", params["backbone"][k]["mlp"])
+
+    def put_head(prefix, head):
+        for c in ("conv1", "conv2", "conv3"):
+            put_conv(f"{prefix}.{c}", head[c], ndim=1)
+        for b in ("bn1", "bn2"):
+            put_bn(f"{prefix}.{b}", head[b])
+
+    put_head("view_estimator.vpmodule", params["approach"])
+    put_mlp("grasp_generator.crop.mlps", params["crop"]["mlp"])
+    put_head("grasp_generator.operation", params["operation"])
+    put_head("grasp_generator.tolerance", params["tolerance"])
+    return sd
+
+
+def test_inverse_roundtrip(rng):
+    """convert(inverse(params)) must reproduce params exactly."""
+    cfg = GraspNetConfig.tiny()
+    params = init_graspnet(jax.random.PRNGKey(1), cfg)
+    sd = params_to_reference_state_dict(params)
+    back = checkpoint.convert_torch_state_dict(sd)
+    la, lb = jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

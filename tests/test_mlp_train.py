@@ -163,3 +163,42 @@ class TestTrainerIntegration:
         )
         assert pooled.shape == (1, cfg.num_seed, cfg.num_depth, cfg.crop_mlp[-1])
         assert stats is not None and len(stats) == len(cfg.crop_mlp) - 1
+
+
+class TestSA1Shape:
+    """The sa1 TRAIN stage reuses the crop kernel at D=1 with the backbone's
+    [3, 64, 64, 128] channel plan (models/backbone.py::_sa_stage, round 4);
+    pin forward + grads at an sa1-shaped configuration."""
+
+    def test_sa1_d1_forward_matches_xla(self, rng):
+        layers = make_layers(dims=(3, 8, 8, 16))
+        grouped = make_grouped(rng, b=2, m=16, d=1, s=8)
+        p_ref, st_ref = xla_path(layers, grouped)
+        p_got, st_got = crop_mlp_train_pallas(layers, grouped, EPS)
+        scale = float(jnp.max(jnp.abs(p_ref)))
+        np.testing.assert_allclose(p_got, p_ref, atol=2e-5 * max(scale, 1.0))
+        for a, b in zip(st_ref, st_got):
+            np.testing.assert_allclose(b["mean"], a["mean"], atol=1e-5, rtol=1e-5)
+            np.testing.assert_allclose(b["var"], a["var"], atol=1e-5, rtol=1e-5)
+
+    def test_sa1_d1_grads_match_xla(self, rng):
+        layers = make_layers(dims=(3, 8, 8, 16))
+        grouped = make_grouped(rng, b=2, m=16, d=1, s=8)
+        w = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 1, 16))
+
+        def grads(path_fn):
+            def loss(l):
+                p, _ = path_fn(l, grouped)
+                return jnp.sum(p * w)
+
+            return jax.grad(loss)(layers)
+
+        g_ref = grads(xla_path)
+        g_got = grads(lambda l, g: crop_mlp_train_pallas(l, g, EPS))
+        ref_leaves = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+        got_leaves = jax.tree_util.tree_flatten_with_path(g_got)[0]
+        for (path, a), (_, b) in zip(ref_leaves, got_leaves):
+            scale = max(float(jnp.max(jnp.abs(a))), 1.0)
+            np.testing.assert_allclose(
+                b, a, atol=2e-4 * scale, err_msg=jax.tree_util.keystr(path)
+            )

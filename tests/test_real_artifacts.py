@@ -29,6 +29,11 @@ GOLDEN = os.environ.get("GRASPNET_GOLDEN_TOP50")
 EXAMPLE_DATA = os.environ.get(
     "GRASPNET_EXAMPLE_DATA", "/root/reference/doc/example_data"
 )
+# Rehearsal knobs (tests/test_rehearsal.py): defaults are the REAL gate
+# values for the published artifacts; the rehearsal run scales them to its
+# fabricated checkpoint + mini dataset so every gate line executes.
+EXPECT_FRAMES = int(os.environ.get("GRASPNET_EXPECT_FRAMES", "256"))
+MIN_AP = float(os.environ.get("GRASPNET_MIN_AP", "5.0"))
 
 needs_ckpt = pytest.mark.skipif(
     not (CKPT and os.path.exists(CKPT)),
@@ -161,17 +166,18 @@ class TestOneSceneAP:
             collision_thresh=0.01,
             voxel_size=0.01,
             batch_size=1,
-            max_frames=256,  # scene_0100 only (256 frames/scene)
+            max_frames=EXPECT_FRAMES,  # scene_0100 only (256 frames/scene)
             profile_dir=None,
         )
         test_app.inference(args, GraspNetConfig())
         ge = GraspNetEval(DATASET, camera="realsense", split="test_seen")
         res = ge.eval_scene("scene_0100", str(tmp_path / "dump"))
-        assert res.shape[0] == 256, "expected all 256 frames dumped"
+        assert res.shape[0] == EXPECT_FRAMES, "expected all frames dumped"
         s = summarize(res)
         print(f"scene_0100 AP {s['AP']:.2f} AP0.8 {s['AP0.8']:.2f} "
               f"AP0.4 {s['AP0.4']:.2f}")
         assert np.isfinite(s["AP"]) and 0.0 <= s["AP"] <= 100.0
         # the checkpoint is a trained model: a scene-level AP of zero would
         # mean the dump or the evaluator is broken, not a weak model
-        assert s["AP"] > 5.0
+        # (MIN_AP is -1 only under the rehearsal's random-weight checkpoint)
+        assert s["AP"] > MIN_AP

@@ -447,3 +447,21 @@ def test_adam_l2_matches_torch_coupled_weight_decay(rng):
 
     np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), atol=1e-6)
     np.testing.assert_allclose(np.asarray(params["b"]), tb.detach().numpy(), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_overfit_gate_tiny():
+    """Overfit convergence gate (VERDICT r3 #6): fixed 4-frame dataset must
+    reach loss < 4.0 AND objectness acc > 0.9 within 240 steps on the tiny
+    config — catches slow gradient corruption the 12-step smoke cannot."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "overfit_gate.py"), "--tiny"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=1500,
+    )
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]
