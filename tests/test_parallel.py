@@ -1,5 +1,7 @@
 """Sharded-inference parity tests on the virtual 8-device CPU mesh."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -167,3 +169,92 @@ class TestMeshPipelineFallback:
         # divisible batch still routes through the sharded program
         assert pipe._infer_for_batch(8) is pipe._infer
         assert pipe._infer_for_batch(1) is pipe._infer_single
+
+
+class TestProductionShapeTrain:
+    """VERDICT r3 stretch #8: the sharded TRAIN gradient computation at the
+    full operating point (20k points / 1024 seeds / 300 views) has only ever
+    run at tiny shapes on the virtual mesh.
+
+    Discrete decisions first: sync-BN under GSPMD sums per-device partials
+    in a different order than one device does, so a handful of top-view
+    argmaxes sit close enough to flip (measured: 2 of 8192 on this batch) —
+    inherent to sync-BN order freedom, not a bug, but a flipped view swaps
+    that seed's matched label slab and moves gradients macroscopically.
+    The test therefore (a) bounds the flip rate, then (b) compares sharded
+    vs unsharded gradients computed from IDENTICAL matched labels, at a
+    tolerance DERIVED from this run's own reduction-order noise
+    (reversed-batch probe, the test_multiproc pattern)."""
+
+    @pytest.mark.slow
+    def test_sharded_grads_at_20k(self):
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+        ))
+        import multiproc_check as mp
+
+        from graspnet_tpu.parallel.mesh import shard_batch
+        from graspnet_tpu.train.label_pipeline import finalize_scene_labels
+        from graspnet_tpu.train.trainer import Trainer, TrainConfig
+
+        cfg = GraspNetConfig()
+        tc = TrainConfig(batch_size=8)
+        t1 = Trainer(cfg=cfg, tc=tc, mesh=make_mesh(1), seed=0)
+        t8 = Trainer(cfg=cfg, tc=tc, mesh=make_mesh(8), seed=0)
+        batch = mp.build_local_batch(cfg, 0, 0, 8)
+
+        # (a) stage-1 decisions: flips only at sync-BN ULP near-ties
+        small1, ctxs, top1 = t1.prepare(batch)
+        _, _, top8 = t8.prepare(batch)
+        top1_np = np.asarray(jax.device_get(top1))
+        top8_np = np.asarray(jax.device_get(top8))
+        flips = int((top1_np != top8_np).sum())
+        assert flips <= top1_np.size // 500, (
+            f"{flips} top-view flips of {top1_np.size}: beyond ULP near-ties"
+        )
+
+        # (b) identical matched labels for both meshes (from the mesh-1 views)
+        matched = [
+            finalize_scene_labels(c, top1_np[i], cfg)
+            for i, c in enumerate(ctxs)
+        ]
+        labels = {k: np.stack([m[k] for m in matched]) for k in matched[0]}
+        labels["label_u_max"] = np.float32(max(c.scene_umax for c in ctxs))
+
+        def grads_on(trainer, reverse=False):
+            sl = -1 if reverse else 1
+            small = {
+                "point_clouds": batch["point_clouds"][::sl],
+                "objectness_label": batch["objectness_label"][::sl],
+                "sa_inds": {k: v[::sl] for k, v in batch["sa_inds"].items()},
+            }
+            db = dict(shard_batch(trainer.mesh, small))
+            db.update(
+                shard_batch(
+                    trainer.mesh,
+                    {
+                        k: (v[::sl] if getattr(v, "ndim", 0) else v)
+                        for k, v in labels.items()
+                    },
+                )
+            )
+            return jax.device_get(trainer._grad_step(trainer.params, db))
+
+        loss_f, g_f = grads_on(t1)
+        loss_r, g_r = grads_on(t1, reverse=True)
+        loss_s, g_s = grads_on(t8)
+        assert np.isfinite(loss_f) and np.isfinite(loss_s)
+
+        lf, lr, ls = (jax.tree_util.tree_leaves(g) for g in (g_f, g_r, g_s))
+        SAFETY = 8.0
+        worst = 0.0
+        for a, b, c in zip(lf, lr, ls):
+            a64 = np.asarray(a, np.float64)
+            probe = float(np.max(np.abs(a64 - np.asarray(b, np.float64))))
+            analytic = 4e-6 * max(1.0, float(np.max(np.abs(a64))))
+            tol = SAFETY * max(probe, analytic) + 1e-9
+            diff = float(np.max(np.abs(a64 - np.asarray(c, np.float64))))
+            worst = max(worst, diff / tol)
+        assert worst <= 1.0, f"sharded/unsharded grad ratio {worst:.2f}"
