@@ -40,6 +40,14 @@ def parse_args():
     p.add_argument("--lr_decay_rates", default="0.1,0.1,0.1")
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--n_devices", type=int, default=None, help="data-parallel width")
+    p.add_argument(
+        "--candidate_devices", type=int, default=1,
+        help="shard each scene's stage-2 candidate sweep (crop + heads + "
+        "per-seed loss) over this many devices in addition to data "
+        "parallelism — lets the batch-2 reference recipe use a full slice "
+        "(total devices = data width x this; sync-BN and the optimizer "
+        "step stay exact)",
+    )
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument(
         "--profile_dir", default=None,
@@ -146,20 +154,30 @@ def main():
             f"{nproc} host(s); {tc.batch_size // nproc} scenes/host/step"
         )
     else:
+        import jax
+
+        cand = max(args.candidate_devices, 1)
         ndev = args.n_devices
         if ndev is None:
-            # largest device count that divides the global batch — a batch
+            # largest data width that divides the global batch — a batch
             # of 2 on an 8-device slice data-parallelizes over 2 devices
-            import jax
-
-            avail = len(jax.devices())
+            # (add --candidate_devices to use the rest)
+            avail = len(jax.devices()) // cand
             ndev = max(
                 d
-                for d in range(1, min(avail, tc.batch_size) + 1)
+                for d in range(1, max(min(avail, tc.batch_size), 1) + 1)
                 if tc.batch_size % d == 0
             )
-        mesh = make_mesh(ndev)
-        logger.log(f"data-parallel mesh: {ndev} device(s)")
+        if cand > 1:
+            mesh = make_mesh(
+                ndev * cand, ("data", "candidate"), shape=(ndev, cand)
+            )
+            logger.log(
+                f"hybrid mesh: {ndev} data x {cand} candidate device(s)"
+            )
+        else:
+            mesh = make_mesh(ndev)
+            logger.log(f"data-parallel mesh: {ndev} device(s)")
     trainer = Trainer(cfg=cfg, tc=tc, mesh=mesh)
     start_epoch = 0
     if args.checkpoint_path and os.path.exists(args.checkpoint_path):

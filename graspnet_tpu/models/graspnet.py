@@ -41,6 +41,7 @@ def graspnet_forward(
     *,
     train: bool = False,
     labels: Optional[Dict[str, jax.Array]] = None,
+    seed_sharding=None,
 ) -> Dict[str, Any]:
     """Full forward pass.
 
@@ -49,10 +50,25 @@ def graspnet_forward(
       labels: padded grasp-label dict (training only), as produced by
         graspnet_tpu.train.label_pipeline.build_scene_labels; may also carry
         'sa_inds' with the host-precomputed FPS chain.
+      seed_sharding: optional NamedSharding for (B, Ns, ...) seed tensors
+        (e.g. P('data', 'candidate') on a 2-D mesh).  When set, the stage-2
+        inputs (crop seeds/rotations, matched label slabs) are pinned to it
+        so GSPMD partitions the crop/head compute — the train-step analogue
+        of parallel.candidate's sharded inference: the dominant crop
+        fwd+bwd splits over the candidate axis while batch-stats BN means
+        and weight-gradient reductions become exact cross-shard collectives
+        automatically (sync-BN preserved).
 
     Returns:
       end_points dict (see SURVEY.md §3.5 for the reference key contract).
     """
+
+    def pin(x):
+        return (
+            jax.lax.with_sharding_constraint(x, seed_sharding)
+            if seed_sharding is not None
+            else x
+        )
     sa_inds = labels.get("sa_inds") if labels else None
     with jax.named_scope("backbone"):
         seed_features, seed_xyz, end_points = backbone_forward(
@@ -92,9 +108,22 @@ def graspnet_forward(
             end_points.update(matched)
         crop_rot = end_points["batch_grasp_view_rot"]
         crop_seed = end_points["batch_grasp_point"]
+        if seed_sharding is not None:
+            # matched label slabs feed the per-seed loss terms: pin them so
+            # the loss compute shards with the crop outputs
+            for k in (
+                "batch_grasp_label",
+                "batch_grasp_width",
+                "batch_grasp_tolerance",
+                "batch_grasp_view_label",
+            ):
+                if k in end_points:
+                    end_points[k] = pin(end_points[k])
     else:
         crop_rot = end_points["grasp_top_view_rot"]
         crop_seed = end_points["fp2_xyz"]
+    crop_rot = pin(crop_rot)
+    crop_seed = pin(crop_seed)
 
     with jax.named_scope("crop"):
         vp_features, crop_stats = heads.crop_forward(

@@ -139,6 +139,29 @@ class Trainer:
         self.cfg = cfg
         self.tc = tc
         self.mesh = mesh if mesh is not None else make_mesh(1)
+        # hybrid data x candidate training (round 4): on a 2-D mesh with a
+        # 'candidate' axis, stage-2 (crop + heads + per-seed loss) shards
+        # over seeds via GSPMD constraints in graspnet_forward — a batch-2
+        # recipe then scales past 2 chips (scenes over 'data', each scene's
+        # 1024-seed sweep over 'candidate').  Batch-stats BN means and
+        # gradient reductions become cross-shard collectives automatically,
+        # so sync-BN and the optimization step stay exact (tests pin grads
+        # against the 1-device step at derived tolerance).
+        self._seed_sharding = None
+        if (
+            "candidate" in self.mesh.axis_names
+            and self.mesh.shape["candidate"] > 1
+        ):
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            assert cfg.num_seed % self.mesh.shape["candidate"] == 0, (
+                f"num_seed {cfg.num_seed} must divide by the candidate axis "
+                f"size {self.mesh.shape['candidate']}"
+            )
+            data = "data" if "data" in self.mesh.axis_names else None
+            self._seed_sharding = NamedSharding(
+                self.mesh, PartitionSpec(data, "candidate")
+            )
         self.params = params if params is not None else init_graspnet(
             jax.random.PRNGKey(seed), cfg
         )
@@ -157,6 +180,7 @@ class Trainer:
 
         cfg_ = cfg
         tx = self.tx
+        seed_sh = self._seed_sharding
 
         @jax.jit
         def _train_step(params, opt_state, batch, bn_momentum):
@@ -167,6 +191,7 @@ class Trainer:
                     cfg_,
                     train=True,
                     labels=batch,
+                    seed_sharding=seed_sh,
                 )
                 ep["objectness_label"] = batch["objectness_label"]
                 loss, metrics = get_loss(ep, cfg_)
@@ -186,7 +211,8 @@ class Trainer:
             # is_training construction flag keeps label-matched crops
             # (train.py:162, graspnet.py:50-56)
             ep = graspnet_forward(
-                params, batch["point_clouds"], cfg_, train=False, labels=batch
+                params, batch["point_clouds"], cfg_, train=False, labels=batch,
+                seed_sharding=seed_sh,
             )
             ep["objectness_label"] = batch["objectness_label"]
             loss, metrics = get_loss(ep, cfg_)
@@ -221,7 +247,8 @@ class Trainer:
         def _grad_step(params, batch):
             def loss_fn(p):
                 ep = graspnet_forward(
-                    p, batch["point_clouds"], cfg_, train=True, labels=batch
+                    p, batch["point_clouds"], cfg_, train=True, labels=batch,
+                    seed_sharding=seed_sh,
                 )
                 ep["objectness_label"] = batch["objectness_label"]
                 loss, _ = get_loss(ep, cfg_)

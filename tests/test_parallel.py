@@ -258,3 +258,83 @@ class TestProductionShapeTrain:
             diff = float(np.max(np.abs(a64 - np.asarray(c, np.float64))))
             worst = max(worst, diff / tol)
         assert worst <= 1.0, f"sharded/unsharded grad ratio {worst:.2f}"
+
+
+class TestHybridTrain:
+    """Round-4 capability: hybrid data x candidate TRAINING.  Stage-2 (crop
+    + heads + per-seed loss) shards over the 'candidate' axis via GSPMD
+    constraints (models/graspnet.py seed_sharding), so the batch-2 reference
+    recipe scales past 2 chips.  Gradients must match the single-device
+    step within the run's own reduction-order noise (reversed-batch probe),
+    and the compiled step must actually partition the crop compute."""
+
+    @pytest.mark.slow
+    def test_hybrid_grads_match_single_device(self):
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+        ))
+        import multiproc_check as mp
+
+        from graspnet_tpu.train.trainer import Trainer, TrainConfig
+
+        cfg = GraspNetConfig.tiny()
+        tc = TrainConfig(batch_size=2)
+        t1 = Trainer(cfg=cfg, tc=tc, mesh=make_mesh(1), seed=0)
+        th = Trainer(
+            cfg=cfg, tc=tc,
+            mesh=make_mesh(8, ("data", "candidate"), shape=(2, 4)), seed=0,
+        )
+        assert th._seed_sharding is not None
+        batch_f = mp.build_local_batch(cfg, 0, 0, 2)
+        batch_r = mp.build_local_batch(cfg, 0, 0, 2, order=-1)
+
+        loss_f, g_f = jax.device_get(t1.grads_compact(batch_f))
+        loss_r, g_r = jax.device_get(t1.grads_compact(batch_r))
+        loss_h, g_h = jax.device_get(th.grads_compact(batch_f))
+        assert np.isfinite(loss_f) and np.isfinite(loss_h)
+
+        lf, lr, lh = (jax.tree_util.tree_leaves(g) for g in (g_f, g_r, g_h))
+        SAFETY = 8.0
+        worst = 0.0
+        for a, b, c in zip(lf, lr, lh):
+            a64 = np.asarray(a, np.float64)
+            probe = float(np.max(np.abs(a64 - np.asarray(b, np.float64))))
+            analytic = 4e-6 * max(1.0, float(np.max(np.abs(a64))))
+            tol = SAFETY * max(probe, analytic) + 1e-9
+            diff = float(np.max(np.abs(a64 - np.asarray(c, np.float64))))
+            worst = max(worst, diff / tol)
+        assert worst <= 1.0, f"hybrid/single grad ratio {worst:.2f}"
+
+    def test_hybrid_step_partitions_crop(self):
+        """The lowered train step must carry the candidate-axis sharding on
+        the stage-2 tensors (not silently replicate)."""
+        from graspnet_tpu.train.trainer import Trainer, TrainConfig
+
+        cfg = GraspNetConfig.tiny()
+        th = Trainer(
+            cfg=cfg, tc=TrainConfig(batch_size=2),
+            mesh=make_mesh(8, ("data", "candidate"), shape=(2, 4)), seed=0,
+        )
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+        ))
+        import multiproc_check as mp
+
+        batch = mp.build_local_batch(cfg, 0, 0, 2)
+        db = th._finalize_batch(th.prepare(batch))
+        mom = __import__("jax.numpy", fromlist=["float32"]).float32(0.5)
+        lowered = th._train_step.lower(th.params, th.opt_state, db, mom)
+        txt = lowered.as_text()
+        # the explicit seed constraints must survive into the lowered module
+        # as Shardy ops splitting (B, Ns, ...) over (data, candidate)
+        assert 'sdy.mesh @mesh = <["data"=2, "candidate"=4]>' in txt
+        n_pins = txt.count('sdy.sharding_constraint')
+        assert n_pins >= 6, (
+            f"expected stage-2 seed tensors pinned to the candidate axis, "
+            f"found {n_pins} sharding constraints"
+        )
+        assert '[{"data"}, {"candidate"}' in txt
