@@ -19,8 +19,6 @@ RNG exactly as in training.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from graspnet_tpu.config import GraspNetConfig

@@ -37,7 +37,6 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
-    import numpy as np
 
     from graspnet_tpu.config import GraspNetConfig
     from graspnet_tpu.data.dataset import DataLoader

@@ -17,7 +17,6 @@ invariance.
 import numpy as np
 import pytest
 
-from graspnet_tpu.config import GraspNetConfig
 from graspnet_tpu.eval import ap
 
 from tests import oracle_ap
