@@ -38,6 +38,10 @@ class ServiceConfig:
     depth_max: float = 0.6
     seg_proximity_thresh: float = 0.02  # reference grasp_service.py mask filter
     max_world_z_for_approach: Optional[float] = None  # world-frame approach gate
+    # shard each frame's stage-2 candidate sweep over this many local
+    # devices (parallel.candidate_sharded_infer) — the multi-chip LATENCY
+    # path for robot serving; 1 = single chip
+    candidate_devices: int = 1
     top_k: int = 50
     # fixed rotation offsets (x, y, z, w quaternions) chained onto the
     # published TF's rotation, R_final = R_raw · R(q1) · R(q2) (reference
@@ -56,7 +60,14 @@ class GraspService:
     def __init__(self, cfg: ServiceConfig = ServiceConfig()):
         self.cfg = cfg
         model_cfg = cfg.model_cfg or GraspNetConfig(num_point=cfg.num_point)
-        self.pipe = GraspPipeline(cfg=model_cfg, checkpoint_path=cfg.checkpoint_path)
+        mesh = None
+        if cfg.candidate_devices > 1:
+            from graspnet_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(cfg.candidate_devices, ("candidate",))
+        self.pipe = GraspPipeline(
+            cfg=model_cfg, checkpoint_path=cfg.checkpoint_path, mesh=mesh
+        )
         # compile the program compute() actually runs (top_k=0 there: the
         # service filters before truncating, so run() takes the raw path)
         self.pipe.warmup(collision_thresh=cfg.collision_thresh, top_k=0)
@@ -485,6 +496,11 @@ def main():
         help="points sampled per request (reference demo.py's ROS node "
         "defaults to 40000; 20000 is the train/test operating point)",
     )
+    p.add_argument(
+        "--candidate_devices", type=int, default=1,
+        help="shard each frame's candidate sweep over N local chips "
+        "(latency path; params replicate, seeds split, one all-gather)",
+    )
     p.add_argument("--camera_link", default="camera_link")
     p.add_argument("--world_frame", default="world")
     p.add_argument("--max_world_z_for_approach", type=float, default=None)
@@ -494,6 +510,7 @@ def main():
         collision_thresh=args.collision_thresh,
         num_point=args.num_point,
         max_world_z_for_approach=args.max_world_z_for_approach,
+        candidate_devices=args.candidate_devices,
     )
     if args.ros_consumer:
         run_ros_consumer_node(

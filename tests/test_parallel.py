@@ -338,3 +338,48 @@ class TestHybridTrain:
             f"found {n_pins} sharding constraints"
         )
         assert '[{"data"}, {"candidate"}' in txt
+
+
+class TestCandidateMeshPipeline:
+    """GraspPipeline on a 'candidate'-axis mesh: the multi-chip LATENCY
+    path (round 4) — batch-1 serving shards each frame's stage-2 sweep."""
+
+    def test_single_frame_matches_unsharded(self, tiny):
+        from graspnet_tpu.apps.pipeline import GraspPipeline
+
+        cfg, params = tiny
+        mesh = make_mesh(8, ("candidate",))
+        pipe = GraspPipeline(cfg=cfg, mesh=mesh)
+        pipe.params = params
+        assert pipe._data_axis_size == 1  # any batch size allowed
+        assert pipe._infer_for_batch(1) is pipe._infer  # sharded, not fallback
+        rng = np.random.default_rng(5)
+        cloud = rng.uniform(-0.3, 0.3, (cfg.num_point, 3)).astype(np.float32)
+        gg = pipe.get_grasps(cloud)
+        ref = GraspPipeline(cfg=cfg)
+        ref.params = params
+        gg_ref = ref.get_grasps(cloud)
+        np.testing.assert_array_equal(
+            gg.grasp_group_array.shape, gg_ref.grasp_group_array.shape
+        )
+        np.testing.assert_allclose(
+            gg.grasp_group_array, gg_ref.grasp_group_array, atol=5e-6
+        )
+
+    def test_topk_matches_unsharded(self, tiny):
+        from graspnet_tpu.apps.pipeline import GraspPipeline
+
+        cfg, params = tiny
+        mesh = make_mesh(8, ("candidate",))
+        pipe = GraspPipeline(cfg=cfg, mesh=mesh)
+        pipe.params = params
+        ref = GraspPipeline(cfg=cfg)
+        ref.params = params
+        rng = np.random.default_rng(6)
+        cloud = rng.uniform(-0.3, 0.3, (cfg.num_point, 3)).astype(np.float32)
+        gg = pipe.get_grasps_topk(cloud, top_k=10)
+        gg_ref = ref.get_grasps_topk(cloud, top_k=10)
+        assert len(gg) == len(gg_ref)
+        np.testing.assert_allclose(
+            gg.grasp_group_array, gg_ref.grasp_group_array, atol=5e-6
+        )

@@ -424,3 +424,35 @@ class TestConsumerNode:
         ros_stubs.spin_hook = drive
         service_mod.run_ros_consumer_node(shared_service.cfg)
         assert _FakeBroadcaster.sent == []
+
+
+def test_service_candidate_devices_mesh():
+    """GraspService with candidate_devices > 1 builds the candidate-axis
+    latency mesh and still serves a frame end to end (virtual devices)."""
+    import numpy as np
+
+    from graspnet_tpu.apps.service import GraspService, ServiceConfig
+    from graspnet_tpu.config import GraspNetConfig
+
+    cfg = ServiceConfig(
+        model_cfg=GraspNetConfig.tiny(),
+        num_point=GraspNetConfig.tiny().num_point,
+        collision_thresh=-1.0,
+        candidate_devices=8,
+    )
+    svc = GraspService(cfg)
+    assert svc.pipe.mesh is not None
+    assert dict(svc.pipe.mesh.shape) == {"candidate": 8}
+    rng = np.random.default_rng(0)
+    cloud = np.stack(
+        [
+            rng.uniform(-0.2, 0.2, 4000),
+            rng.uniform(-0.2, 0.2, 4000),
+            rng.uniform(0.35, 0.55, 4000),  # inside the service depth gate
+        ],
+        axis=1,
+    ).astype(np.float32)
+    result = svc.compute(cloud)
+    assert isinstance(result, dict) and "ok" in result
+    if result["ok"]:
+        assert "best_pose" in result
