@@ -46,6 +46,7 @@ def _sa_stage(
     train: bool,
     eps: float,
     inds: jax.Array | None = None,
+    qidx: jax.Array | None = None,
 ):
     """One set-abstraction stage.
 
@@ -54,10 +55,15 @@ def _sa_stage(
       inds: optional precomputed FPS indices (B, npoint) — the training path
         feeds host-precomputed seeds (FPS is parameter-independent), removing
         the sequential FPS loop from the train step entirely.
+      qidx: optional precomputed ball-query indices (B, npoint, nsample) —
+        like the FPS seeds they are parameter-independent, so the compact
+        path's stage-1 pre-pass exports them and the full train step reuses
+        them instead of re-sweeping 20k points per seed (round 4).
 
     Returns:
       new_xyz (B, npoint, 3), new_features (B, npoint, mlp[-1]), fps indices
-      (B, npoint), bn batch stats (train only).
+      (B, npoint), bn batch stats (train only), query indices (generic path
+      only, else None).
     """
     if inds is None:
         inds = ops.furthest_point_sample(xyz, sa.npoint)
@@ -75,7 +81,7 @@ def _sa_stage(
         pooled = sa1_fused_pallas(
             xyz, new_xyz, params["mlp"], sa.radius, sa.nsample, eps
         )
-        return new_xyz, pooled, inds, None
+        return new_xyz, pooled, inds, None, None
     if (
         features is not None
         and not train
@@ -98,8 +104,8 @@ def _sa_stage(
         )
         for w, bias in fold_bn_eval(params["mlp"], eps):
             grouped = jax.nn.relu(jnp.dot(grouped, w) + bias)
-        return new_xyz, jnp.max(grouped, axis=2), inds, None
-    idx = ops.ball_query(xyz, new_xyz, sa.radius, sa.nsample)
+        return new_xyz, jnp.max(grouped, axis=2), inds, None, None
+    idx = qidx if qidx is not None else ops.ball_query(xyz, new_xyz, sa.radius, sa.nsample)
     grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
     if sa.normalize_xyz:
         grouped_xyz = grouped_xyz / sa.radius
@@ -110,7 +116,7 @@ def _sa_stage(
         grouped = grouped_xyz
     out, stats = nn.shared_mlp(params["mlp"], grouped, train=train, eps=eps)
     pooled = jnp.max(out, axis=2)  # max over nsample
-    return new_xyz, pooled, inds, stats
+    return new_xyz, pooled, inds, stats, idx
 
 
 def _fp_stage(
@@ -141,6 +147,7 @@ def backbone_forward(
     *,
     train: bool = False,
     sa_inds: Dict[str, jax.Array] | None = None,
+    sa_query_idx: Dict[str, jax.Array] | None = None,
 ) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
     """Run the backbone.
 
@@ -148,6 +155,12 @@ def backbone_forward(
       pointcloud: (B, N, 3 + input_feature_dim).
       sa_inds: optional host-precomputed FPS chain {'sa1'..'sa4'}, each
         (B, npoint) indices into the previous stage's points.
+      sa_query_idx: optional precomputed ball-query indices per stage
+        (device arrays, e.g. exported by the compact path's stage-1
+        pre-pass) — parameter-independent, so reusing them skips the
+        per-seed membership sweeps in the train step.  In train mode the
+        generic path exports the indices it computed as
+        end_points['sa_query_idx'].
 
     Returns:
       seed_features (B, num_seed, 256), seed_xyz (B, num_seed, 3), and an
@@ -169,27 +182,39 @@ def backbone_forward(
     features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
     end_points: Dict[str, Any] = {"input_xyz": xyz, "input_features": features}
     bn_stats: Dict[str, Any] = {}
+    qidx_in = sa_query_idx or {}
+    qidx_out: Dict[str, jax.Array] = {}
 
-    sa1_xyz, sa1_feat, sa1_inds, st = _sa_stage(
+    sa1_xyz, sa1_feat, sa1_inds, st, qi = _sa_stage(
         params["sa1"], cfg.sa1, xyz, features, train=train, eps=eps,
-        inds=sa_inds.get("sa1"),
+        inds=sa_inds.get("sa1"), qidx=qidx_in.get("sa1"),
     )
     bn_stats["sa1"] = st
-    sa2_xyz, sa2_feat, sa2_inds, st = _sa_stage(
+    if qi is not None:
+        qidx_out["sa1"] = qi
+    sa2_xyz, sa2_feat, sa2_inds, st, qi = _sa_stage(
         params["sa2"], cfg.sa2, sa1_xyz, sa1_feat, train=train, eps=eps,
-        inds=sa_inds.get("sa2"),
+        inds=sa_inds.get("sa2"), qidx=qidx_in.get("sa2"),
     )
     bn_stats["sa2"] = st
-    sa3_xyz, sa3_feat, sa3_inds, st = _sa_stage(
+    if qi is not None:
+        qidx_out["sa2"] = qi
+    sa3_xyz, sa3_feat, sa3_inds, st, qi = _sa_stage(
         params["sa3"], cfg.sa3, sa2_xyz, sa2_feat, train=train, eps=eps,
-        inds=sa_inds.get("sa3"),
+        inds=sa_inds.get("sa3"), qidx=qidx_in.get("sa3"),
     )
     bn_stats["sa3"] = st
-    sa4_xyz, sa4_feat, sa4_inds, st = _sa_stage(
+    if qi is not None:
+        qidx_out["sa3"] = qi
+    sa4_xyz, sa4_feat, sa4_inds, st, qi = _sa_stage(
         params["sa4"], cfg.sa4, sa3_xyz, sa3_feat, train=train, eps=eps,
-        inds=sa_inds.get("sa4"),
+        inds=sa_inds.get("sa4"), qidx=qidx_in.get("sa4"),
     )
     bn_stats["sa4"] = st
+    if qi is not None:
+        qidx_out["sa4"] = qi
+    if train and qidx_out:
+        end_points["sa_query_idx"] = qidx_out
 
     fp1_feat, st = _fp_stage(
         params["fp1"], sa3_xyz, sa4_xyz, sa3_feat, sa4_feat, train=train, eps=eps

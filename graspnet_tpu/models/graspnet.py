@@ -70,9 +70,11 @@ def graspnet_forward(
             else x
         )
     sa_inds = labels.get("sa_inds") if labels else None
+    sa_qidx = labels.get("sa_query_idx") if labels else None
     with jax.named_scope("backbone"):
         seed_features, seed_xyz, end_points = backbone_forward(
-            params["backbone"], point_clouds, cfg, train=train, sa_inds=sa_inds
+            params["backbone"], point_clouds, cfg, train=train,
+            sa_inds=sa_inds, sa_query_idx=sa_qidx,
         )
     end_points["point_clouds"] = point_clouds
     with jax.named_scope("approach"):

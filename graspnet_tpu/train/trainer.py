@@ -232,14 +232,16 @@ class Trainer:
 
             @jax.jit
             def _stage1(params, point_clouds, sa_inds):
-                feats, seed_xyz, _ = backbone_forward(
+                feats, seed_xyz, ep_bb = backbone_forward(
                     params["backbone"], point_clouds, cfg_, train=train,
                     sa_inds=sa_inds,
                 )
                 ep = heads.approach_forward(
                     params["approach"], seed_xyz, feats, cfg_, train=train
                 )
-                return ep["grasp_top_view_inds"]
+                # export the parameter-independent ball-query indices so
+                # the full step reuses them instead of re-sweeping (round 4)
+                return ep["grasp_top_view_inds"], ep_bb.get("sa_query_idx", {})
 
             return _stage1
 
@@ -326,16 +328,16 @@ class Trainer:
         }
         device_small = shard_batch(self.mesh, small)
         stage1 = self._stage1_top_view if train else self._stage1_top_view_eval
-        top = stage1(
+        top, qidx = stage1(
             self.params, device_small["point_clouds"], device_small["sa_inds"]
         )
-        return device_small, ctxs, top
+        return device_small, ctxs, top, qidx
 
     def _finalize_batch(self, handle):
         """Phase 2 host work: matched labels + global u_max -> device batch."""
         from graspnet_tpu.train.label_pipeline import finalize_scene_labels
 
-        device_small, ctxs, top = handle
+        device_small, ctxs, top, qidx = handle
         if jax.process_count() > 1:
             # only this host's rows are addressable; ctxs holds exactly those
             # scenes (loader feeds process-local rows in shard order)
@@ -376,6 +378,10 @@ class Trainer:
         labels["label_u_max"] = u_max
         device_batch = dict(device_small)
         device_batch.update(shard_batch(self.mesh, labels))
+        if qidx:
+            # stage-1's ball-query indices, already on device with the right
+            # sharding — the step's backbone skips its membership sweeps
+            device_batch["sa_query_idx"] = qidx
         return device_batch
 
     def step_prepared(self, handle):

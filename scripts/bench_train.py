@@ -99,7 +99,7 @@ def main():
     import jax.numpy as jnp
     from graspnet_tpu.train.label_pipeline import finalize_scene_labels
 
-    device_small, ctxs2, top = trainer.prepare(batch)
+    device_small, ctxs2, top, qidx = trainer.prepare(batch)
     top_np = np.asarray(jax.device_get(top))
     matched = [
         finalize_scene_labels(c, top_np[i], cfg) for i, c in enumerate(ctxs2)
@@ -113,6 +113,8 @@ def main():
 
     db = dict(device_small)
     db.update(shard_batch(trainer.mesh, labels))
+    if qidx:
+        db["sa_query_idx"] = qidx
     mom = jnp.float32(0.5)
     times = {}
     for kk in (4, 24):

@@ -180,7 +180,7 @@ class TestFusedSAStages:
         params = {"mlp": nn.shared_mlp_init(jax.random.PRNGKey(0), cfg.sa1.mlp)}
         self._bn_randomize(params["mlp"], rng)
         xyz = jnp.asarray(rng.uniform(-0.3, 0.3, (2, cfg.num_point, 3)), jnp.float32)
-        new_xyz, ref, _, _ = _sa_stage(
+        new_xyz, ref, _, _, _ = _sa_stage(
             params, cfg.sa1, xyz, None, train=False, eps=cfg.bn_eps
         )
         got = sa1_fused_pallas(
@@ -199,7 +199,7 @@ class TestFusedSAStages:
         n, c = cfg.sa1.npoint, cfg.sa1.mlp[-1]
         xyz = jnp.asarray(rng.uniform(-0.3, 0.3, (2, n, 3)), jnp.float32)
         feats = jnp.asarray(rng.normal(0, 1, (2, n, c)), jnp.float32)
-        new_xyz, ref, _, _ = _sa_stage(
+        new_xyz, ref, _, _, _ = _sa_stage(
             params, cfg.sa2, xyz, feats, train=False, eps=cfg.bn_eps
         )
         got = sa_feat_fused_pallas(
