@@ -70,7 +70,7 @@ def main():
                                              eps=cfg.bn_eps, inds=ii)[:2],
                 x, f, pre,
             )
-        xx, ff, _, _ = _sa_stage(bp[name], sa, x, f, train=False, eps=cfg.bn_eps,
+        xx, ff, _, _, _ = _sa_stage(bp[name], sa, x, f, train=False, eps=cfg.bn_eps,
                                  inds=pre)
         stage_in = (xx, ff)
         carried.append((xx, ff))
