@@ -465,3 +465,41 @@ def test_overfit_gate_tiny():
         capture_output=True, text=True, env=env, cwd=repo, timeout=1500,
     )
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]
+
+
+def test_stage1_query_idx_matches_in_step_recompute():
+    """The ball-query indices stage 1 exports must be EXACTLY the ones the
+    full step would recompute (they are parameter-independent): reuse may
+    not move a single neighbor."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    ))
+    import multiproc_check as mp
+
+    from graspnet_tpu.models.backbone import backbone_forward
+    from graspnet_tpu.train.trainer import Trainer, TrainConfig
+
+    cfg = GraspNetConfig.tiny()
+    tr = Trainer(cfg=cfg, tc=TrainConfig(batch_size=2), seed=0)
+    batch = mp.build_local_batch(cfg, 0, 0, 2)
+    handle = tr.prepare(batch)
+    qidx = handle[3]
+    assert set(qidx) == {"sa1", "sa2", "sa3", "sa4"}
+    # independent recompute through the backbone without reuse
+    import jax
+    import jax.numpy as jnp
+
+    _, _, ep = backbone_forward(
+        tr.params["backbone"], jnp.asarray(batch["point_clouds"]), cfg,
+        train=True,
+        sa_inds={k: jnp.asarray(v) for k, v in batch["sa_inds"].items()},
+    )
+    for k in qidx:
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(qidx[k])),
+            np.asarray(jax.device_get(ep["sa_query_idx"][k])),
+            err_msg=k,
+        )
