@@ -222,6 +222,35 @@ class GraspPipeline:
         self.timings.collision_s = time.perf_counter() - t0
         return gg[~mask]
 
+    def collision_filter_batch(
+        self,
+        ggs,
+        scene_clouds,
+        collision_thresh: float = 0.01,
+        voxel_size: float = 0.01,
+        approach_dist: float = 0.05,
+        pre_downsampled: bool = False,
+    ):
+        """Batch-of-frames collision filter: ONE device round trip.
+
+        Mask-identical to collision_filter per frame (parity pinned in
+        tests/test_postproc.py); apps/test.py uses it so an eval batch pays
+        one transfer + one fetch instead of one per frame per array.
+        """
+        from graspnet_tpu.postproc.collision import detect_batch
+
+        t0 = time.perf_counter()
+        masks = detect_batch(
+            scene_clouds,
+            ggs,
+            voxel_size=voxel_size,
+            approach_dist=approach_dist,
+            collision_thresh=collision_thresh,
+            pre_downsampled=pre_downsampled,
+        )
+        self.timings.collision_s = time.perf_counter() - t0
+        return [gg[~m] for gg, m in zip(ggs, masks)]
+
     def get_grasps_topk(self, cloud_sampled: np.ndarray, top_k: int = 50) -> GraspGroup:
         """Serving fast path: NMS + top-K fused into the device program.
 

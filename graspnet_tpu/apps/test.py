@@ -95,23 +95,37 @@ def inference(args, cfg, dataset=None):
     # device inference; pool sized to stay ahead of one batch
     pool = cf.ThreadPoolExecutor(max_workers=max(4, bs))
     futures = {i: pool.submit(dataset.get_data, i) for i in range(min(2 * bs, n))}
-    # collision filter + dump run on host threads, overlapped with the next
-    # batch's device inference (the device never waits on the M x N masks)
+    # postproc runs on host threads, overlapped with the next batch's device
+    # inference: raw-cloud voxel downsampling fans out per frame on
+    # post_pool (it starts during the batch's own inference), then ONE
+    # batched device collision call covers the whole batch — one transfer +
+    # one fetch instead of a tunnel/PCIe round trip per frame per array
     post_pool = cf.ThreadPoolExecutor(max_workers=4)
+    batch_pool = cf.ThreadPoolExecutor(max_workers=2)
     post_futures = []
 
-    def postproc_frame(i, gg):
+    def downsample_frame(i):
+        from graspnet_tpu import native
+
+        with timer.stage("collision"):
+            return native.voxel_downsample(
+                dataset.get_raw_cloud(i), args.voxel_size
+            )
+
+    def postproc_batch(ids, ggs, ds_futs):
         if args.collision_thresh > 0:
+            ds = [f.result() for f in ds_futs]
             with timer.stage("collision"):
-                raw_cloud = dataset.get_raw_cloud(i)
-                gg = pipe.collision_filter(
-                    gg, raw_cloud, args.collision_thresh, args.voxel_size
+                ggs = pipe.collision_filter_batch(
+                    ggs, ds, args.collision_thresh, args.voxel_size,
+                    pre_downsampled=True,
                 )
-        with timer.stage("dump"):
-            scene, frame = dataset.frames[i]
-            save_dir = os.path.join(args.dump_dir, scene, args.camera)
-            os.makedirs(save_dir, exist_ok=True)
-            gg.save_npy(os.path.join(save_dir, f"{frame:04d}.npy"))
+        for i, gg in zip(ids, ggs):
+            with timer.stage("dump"):
+                scene, frame = dataset.frames[i]
+                save_dir = os.path.join(args.dump_dir, scene, args.camera)
+                os.makedirs(save_dir, exist_ok=True)
+                gg.save_npy(os.path.join(save_dir, f"{frame:04d}.npy"))
 
     with device_trace(args.profile_dir):
         for start in range(0, n, bs):
@@ -121,6 +135,11 @@ def inference(args, cfg, dataset=None):
                     futures[j] = pool.submit(dataset.get_data, j)
             with timer.stage("data"):
                 samples = [futures.pop(i).result() for i in ids]
+            ds_futs = (
+                [post_pool.submit(downsample_frame, i) for i in ids]
+                if args.collision_thresh > 0
+                else []
+            )
             with timer.stage("net"):
                 clouds = np.stack([s["point_clouds"] for s in samples])
                 if len(ids) < bs:
@@ -129,8 +148,9 @@ def inference(args, cfg, dataset=None):
                     pad = np.repeat(clouds[-1:], bs - len(ids), axis=0)
                     clouds = np.concatenate([clouds, pad], axis=0)
                 ggs = pipe.get_grasps_batch(clouds)[: len(ids)]
-            for i, gg in zip(ids, ggs):
-                post_futures.append(post_pool.submit(postproc_frame, i, gg))
+            post_futures.append(
+                batch_pool.submit(postproc_batch, ids, ggs, ds_futs)
+            )
             # surface postproc failures immediately instead of after the
             # whole split has been inferred
             still = []
@@ -148,6 +168,7 @@ def inference(args, cfg, dataset=None):
                 )
     for f in post_futures:
         f.result()  # surface postproc errors; all dumps complete
+    batch_pool.shutdown()
     post_pool.shutdown()
     pool.shutdown(wait=False, cancel_futures=True)
     total_s = time.time() - tic

@@ -9,7 +9,11 @@ ships its own.
 
 from graspnet_tpu.postproc.grasp import Grasp, GraspGroup, GRASP_ARRAY_LEN
 from graspnet_tpu.postproc.nms import grasp_nms
-from graspnet_tpu.postproc.collision import ModelFreeCollisionDetector, collision_ious
+from graspnet_tpu.postproc.collision import (
+    ModelFreeCollisionDetector,
+    collision_ious,
+    detect_batch,
+)
 from graspnet_tpu.postproc.voxel import voxel_down_sample
 from graspnet_tpu.postproc.gripper import (
     gripper_mesh,
@@ -27,5 +31,6 @@ __all__ = [
     "grasp_nms",
     "ModelFreeCollisionDetector",
     "collision_ious",
+    "detect_batch",
     "voxel_down_sample",
 ]

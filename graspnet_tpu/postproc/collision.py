@@ -189,6 +189,98 @@ def _bucket(n: int, quantum: int) -> int:
     return max(quantum, -(-n // quantum) * quantum)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("approach_dist", "voxel_size", "block")
+)
+def _collision_counts_rows_batch(
+    pts: jax.Array,  # (B, Npad, 3), padding = +1e9 sentinel
+    rows: jax.Array,  # (B, Mpad, 17) grasp rows, padding = identity rotation
+    *,
+    approach_dist: float,
+    voxel_size: float,
+    block: int = 8192,
+):
+    """Batched collision counts from packed (17-float) grasp rows.
+
+    One transfer + one dispatch + one fetch for a whole eval batch — the
+    per-frame detect() path pays a tunnel/PCIe round trip per frame AND one
+    per grasp-parameter array; here the rows are unpacked on device.
+    """
+
+    def one(p, r):
+        return collision_counts_blocked(
+            p,
+            r[:, 13:16],
+            r[:, 4:13].reshape(-1, 3, 3),
+            r[:, 2],
+            r[:, 3],
+            r[:, 1],
+            approach_dist=approach_dist,
+            voxel_size=voxel_size,
+            block=block,
+        )
+
+    return jax.vmap(one)(pts, rows)
+
+
+def detect_batch(
+    scene_clouds,
+    grasp_groups,
+    *,
+    voxel_size: float = 0.005,
+    approach_dist: float = 0.03,
+    collision_thresh: float = 0.05,
+    pre_downsampled: bool = False,
+):
+    """Per-frame collision masks for a whole batch in ONE device round trip.
+
+    Mask-identical to running ModelFreeCollisionDetector(cloud).detect(gg)
+    per frame (counts are integer sums over sentinel-padded points, so the
+    shared bucketing changes nothing — pinned in tests/test_postproc.py).
+
+    Args:
+      scene_clouds: list of (Ni, 3) raw clouds (voxel-downsampled here), or
+        already-downsampled clouds when pre_downsampled=True.
+      grasp_groups: list of GraspGroup (len == len(scene_clouds)).
+
+    Returns:
+      list of (mi,) bool collision masks, one per frame.
+    """
+    from graspnet_tpu import native
+
+    assert len(scene_clouds) == len(grasp_groups)
+    b = len(grasp_groups)
+    if b == 0:
+        return []
+    if pre_downsampled:
+        ds = [np.asarray(c, np.float32) for c in scene_clouds]
+    else:
+        ds = [
+            native.voxel_downsample(np.asarray(c, np.float32), voxel_size)
+            for c in scene_clouds
+        ]
+    ms = [len(g.grasp_group_array) for g in grasp_groups]
+    if max(ms) == 0:
+        return [np.zeros((0,), bool) for _ in range(b)]
+    mp = _bucket(max(ms), 256)
+    npad = _bucket(max(len(c) for c in ds), 8192)
+    rows = np.zeros((b, mp, 17), np.float32)
+    rows[:, :, 4:13] = np.eye(3).reshape(9)  # valid rotations for padding
+    pts = np.full((b, npad, 3), 1e9, np.float32)
+    for i, (c, g) in enumerate(zip(ds, grasp_groups)):
+        pts[i, : len(c)] = c
+        rows[i, : ms[i]] = g.grasp_group_array
+    global_iou, _, _ = jax.device_get(
+        _collision_counts_rows_batch(
+            jnp.asarray(pts),
+            jnp.asarray(rows),
+            approach_dist=float(max(approach_dist, FINGER_WIDTH)),
+            voxel_size=float(voxel_size),
+        )
+    )
+    return [global_iou[i, : ms[i]] > collision_thresh for i in range(b)]
+
+
 class ModelFreeCollisionDetector:
     """Drop-in equivalent of the reference detector (collision_detector.py:10).
 
@@ -231,26 +323,24 @@ class ModelFreeCollisionDetector:
             return ret
         mp = _bucket(m, 256)
         npad = _bucket(len(self.scene_points), 8192)
-        gp = np.zeros((mp, 17), np.float32)
-        gp[:m] = g
-        gp[m:, 4:13] = np.eye(3).reshape(9)  # valid rotations for padding
-        pts = np.full((npad, 3), 1e9, np.float32)
-        pts[: len(self.scene_points)] = self.scene_points
+        gp = np.zeros((1, mp, 17), np.float32)
+        gp[0, :m] = g
+        gp[0, m:, 4:13] = np.eye(3).reshape(9)  # valid rotations for padding
+        pts = np.full((1, npad, 3), 1e9, np.float32)
+        pts[0, : len(self.scene_points)] = self.scene_points
+        # packed rows: two host->device transfers total (the grasp
+        # parameters are unpacked on device), not one per parameter array
         global_iou, part_ious, inner_count = jax.device_get(
-            collision_counts_blocked(
+            _collision_counts_rows_batch(
                 jnp.asarray(pts),
-                jnp.asarray(gp[:, 13:16]),
-                jnp.asarray(gp[:, 4:13].reshape(-1, 3, 3)),
-                jnp.asarray(gp[:, 2]),
-                jnp.asarray(gp[:, 3]),
-                jnp.asarray(gp[:, 1]),
-                approach_dist=float(approach_dist),
+                jnp.asarray(gp),
+                approach_dist=float(max(approach_dist, FINGER_WIDTH)),
                 voxel_size=float(self.voxel_size),
             )
         )
-        global_iou = global_iou[:m]
-        part_ious = part_ious[:m]
-        inner_count = inner_count[:m]
+        global_iou = global_iou[0, :m]
+        part_ious = part_ious[0, :m]
+        inner_count = inner_count[0, :m]
         collision_mask = global_iou > collision_thresh
         if not (return_empty_grasp or return_ious):
             return collision_mask

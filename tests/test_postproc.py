@@ -90,6 +90,40 @@ class TestCollision:
         np.testing.assert_allclose(ious[0], want_iou, rtol=1e-5)
         assert empty.shape == (16,) and empty.dtype == bool
 
+    def test_batch_matches_per_frame(self, rng):
+        """detect_batch == per-frame detect, exactly, across ragged frames.
+
+        Frames deliberately straddle the shared-bucket boundaries (different
+        cloud sizes and grasp counts, incl. an empty group), so the test
+        pins that the common (B, Npad/Mpad) padding changes no mask."""
+        from graspnet_tpu.postproc.collision import detect_batch
+
+        clouds = [
+            rng.uniform(-0.3, 0.3, size=(n, 3)).astype(np.float32)
+            for n in (900, 2500, 4100, 1300)
+        ]
+        groups = [
+            GraspGroup(random_grasps(rng, m)) for m in (32, 300, 0, 7)
+        ]
+        got = detect_batch(
+            clouds, groups,
+            voxel_size=0.01, approach_dist=0.05, collision_thresh=0.01,
+        )
+        assert len(got) == 4
+        for cloud, gg, mask in zip(clouds, groups, got):
+            det = ModelFreeCollisionDetector(cloud, voxel_size=0.01)
+            want = det.detect(gg, approach_dist=0.05, collision_thresh=0.01)
+            np.testing.assert_array_equal(mask, want)
+
+    def test_batch_all_empty_and_empty_list(self, rng):
+        from graspnet_tpu.postproc.collision import detect_batch
+
+        clouds = [rng.uniform(-0.3, 0.3, (500, 3)).astype(np.float32)] * 2
+        groups = [GraspGroup(np.zeros((0, 17), np.float32))] * 2
+        masks = detect_batch(clouds, groups, voxel_size=0.01)
+        assert [m.shape for m in masks] == [(0,), (0,)]
+        assert detect_batch([], [], voxel_size=0.01) == []
+
 
 class TestVoxel:
     def test_centroids(self):
