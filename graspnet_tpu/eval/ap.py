@@ -42,6 +42,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from graspnet_tpu import native
 from graspnet_tpu.data.dataset import SPLITS
 from graspnet_tpu.eval.force_closure import FRICTIONS, estimate_normals, min_friction
 from graspnet_tpu.postproc.voxel import voxel_down_sample
@@ -126,8 +127,84 @@ def create_table_points(
 # ------------------------------------------------------------- protocol ----
 
 
+class _SceneGrid:
+    """Uniform-grid index over a point set for exact pruned volume checks.
+
+    Same design as the native gn_visible / gn_fps_grid kernels in the data
+    pipeline: the grid only PRUNES (cell-level bounding-sphere coverage);
+    every surviving candidate goes through the unchanged per-point mask
+    math, and candidates are returned in ascending original index order so
+    masked reductions (any/sum/mean) see exactly the arrays the unpruned
+    code saw — results are bit-identical by construction.
+    """
+
+    def __init__(self, points: np.ndarray, cell: float = 0.08):
+        self.points = points
+        self.cell = float(cell)
+        self.n = len(points)
+        if self.n == 0:
+            return
+        p64 = points.astype(np.float64)
+        self.minb = p64.min(axis=0)
+        coords = np.floor((p64 - self.minb) / self.cell).astype(np.int64)
+        self.dims = coords.max(axis=0) + 1
+        keys = (
+            coords[:, 0] * self.dims[1] + coords[:, 1]
+        ) * self.dims[2] + coords[:, 2]
+        self.order = np.argsort(keys, kind="stable")
+        sk = keys[self.order]
+        self.uniq, self.starts = np.unique(sk, return_index=True)
+        self.ends = np.append(self.starts[1:], self.n)
+
+    def ball_candidates(self, center: np.ndarray, radius: float) -> np.ndarray:
+        """Indices of every point possibly within `radius` of `center`
+        (cell-cover superset), ascending."""
+        if self.n == 0:
+            return np.empty(0, np.int64)
+        c = np.asarray(center, np.float64)
+        lo = np.floor((c - radius - self.minb) / self.cell).astype(np.int64)
+        hi = np.floor((c + radius - self.minb) / self.cell).astype(np.int64)
+        lo = np.clip(lo, 0, self.dims - 1)
+        hi = np.clip(hi, 0, self.dims - 1)
+        xs = np.arange(lo[0], hi[0] + 1)
+        ys = np.arange(lo[1], hi[1] + 1)
+        zs = np.arange(lo[2], hi[2] + 1)
+        keys = (
+            (xs[:, None, None] * self.dims[1] + ys[None, :, None])
+            * self.dims[2]
+            + zs[None, None, :]
+        ).ravel()
+        pos = np.searchsorted(self.uniq, keys)
+        in_range = pos < len(self.uniq)
+        # exact positional match only: an absent key must not alias to a
+        # present neighbour (that would duplicate a cell's points and
+        # corrupt the inner-point counts/centroids)
+        pos = pos[in_range][self.uniq[pos[in_range]] == keys[in_range]]
+        if len(pos) == 0:
+            return np.empty(0, np.int64)
+        idx = np.concatenate(
+            [self.order[self.starts[p] : self.ends[p]] for p in pos]
+        )
+        idx.sort()
+        return idx
+
+
+def _gripper_bound_radius(width: float, height: float, depth: float) -> float:
+    """Bounding-sphere radius (gripper frame, centered at the grasp
+    translation) of every volume collision_and_empty tests.  The gripper
+    frame is an isometry of the camera frame, so |target| == |p - t| up to
+    the f32 rotation's ~1e-6 non-orthonormality — the 1e-3 m margin
+    dwarfs it."""
+    x = max(DEPTH_BASE + FINGER_WIDTH, abs(float(depth)))
+    y = abs(float(width)) / 2 + FINGER_WIDTH
+    z = abs(float(height)) / 2
+    return float(np.sqrt(x * x + y * y + z * z)) + 1e-3
+
+
 def collision_and_empty(
-    grasps: np.ndarray, scene_points: np.ndarray
+    grasps: np.ndarray,
+    scene_points: np.ndarray,
+    grid: Optional[_SceneGrid] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Binary gripper-volume collision + empty-jaw check per grasp.
 
@@ -141,6 +218,10 @@ def collision_and_empty(
     Returns (collision (M,), empty (M,), inner_centroid (M, 3)); the
     centroid of the between-jaws points (gripper frame) seeds the dexnet
     grasp center for scoring, as graspnetAPI does.
+
+    `grid`: optional _SceneGrid built over THESE scene_points — prunes each
+    grasp's sweep to the points near its gripper volume (bit-identical
+    results; ~10x on full-scene+table point sets).
     """
     m = len(grasps)
     collision = np.zeros(m, dtype=bool)
@@ -151,7 +232,13 @@ def collision_and_empty(
         width, height, depth = g[1], g[2], g[3]
         rot = g[4:13].reshape(3, 3)
         t = g[13:16]
-        target = (scene_points - t) @ rot  # gripper frame
+        pts = scene_points
+        if grid is not None:
+            cand = grid.ball_candidates(
+                t, _gripper_bound_radius(width, height, depth)
+            )
+            pts = scene_points[cand]
+        target = (pts - t) @ rot  # gripper frame
         mask1 = (target[:, 2] > -height / 2) & (target[:, 2] < height / 2)
         mask2 = (target[:, 0] > -DEPTH_BASE) & (target[:, 0] < depth)
         mask3 = target[:, 1] > -(width / 2 + FINGER_WIDTH)
@@ -225,16 +312,11 @@ def eval_frame(
     )
     scene = np.concatenate(posed, axis=0)
     centers = grasps[:, 13:16]
-    nearest = np.empty(len(grasps), dtype=np.int64)
-    best = np.full(len(grasps), np.inf)
-    step = 8192
-    for s in range(0, len(scene), step):
-        d = np.linalg.norm(centers[:, None, :] - scene[None, s : s + step, :], axis=-1)
-        arg = d.argmin(axis=1)
-        dmin = d[np.arange(len(grasps)), arg]
-        upd = dmin < best
-        best[upd] = dmin[upd]
-        nearest[upd] = arg[upd] + s
+    # first-occurrence argmin over squared distances (native.nearest, C++
+    # with numpy fallback) — same selection as the former blocked-norm
+    # sweep up to sqrt rounding collapsing ~1e-7-relative near-ties, and
+    # ~100x less host time on full composed scenes
+    nearest = native.nearest(centers, scene).astype(np.int64)
     model_to_grasp = seg[nearest]
 
     # ---- stage 3: top-10 per object, then global top-50 min-score cut ----
@@ -252,11 +334,12 @@ def eval_frame(
 
     # ---- stages 4+5: collision/empty then force-closure scoring ----
     coll_scene = scene if table is None else np.concatenate([scene, table], axis=0)
+    coll_grid = _SceneGrid(coll_scene)
     rows, scores = [], []
     for oi, g in enumerate(kept_per_obj):
         if len(g) == 0:
             continue
-        coll, empty, inner_c = collision_and_empty(g, coll_scene)
+        coll, empty, inner_c = collision_and_empty(g, coll_scene, grid=coll_grid)
         p_rot, p_t = poses[oi][:3, :3], poses[oi][:3, 3]
         for gi in range(len(g)):
             rows.append(g[gi])

@@ -191,6 +191,46 @@ class TestCollisionAndEmpty:
         _, empty, _ = collision_and_empty(self._grasp(), pts)
         assert empty[0]
 
+    def test_grid_pruned_bitwise_identical(self, rng):
+        """The _SceneGrid prune must change NOTHING: collision flags,
+        empty flags, and centroids bit-equal to the unpruned sweep across
+        random grasps (incl. ones whose volume hangs outside the scene's
+        grid bounds entirely)."""
+        from graspnet_tpu.eval.ap import _SceneGrid
+
+        for trial in range(8):
+            pts = rng.uniform(-0.4, 0.4, (5000, 3)).astype(np.float32)
+            m = 40
+            g = np.zeros((m, 17), np.float32)
+            g[:, 0] = rng.uniform(0, 1, m)
+            g[:, 1] = rng.uniform(0.01, 0.1, m)
+            g[:, 2] = rng.uniform(0.01, 0.04, m)
+            g[:, 3] = rng.uniform(0.01, 0.05, m)
+            import scipy.spatial.transform as st
+
+            g[:, 4:13] = (
+                st.Rotation.random(m, random_state=trial)
+                .as_matrix()
+                .reshape(m, 9)
+                .astype(np.float32)
+            )
+            # centers: mostly inside the cloud, a few far outside the grid
+            g[:, 13:16] = rng.uniform(-0.45, 0.45, (m, 3))
+            g[:5, 13:16] = rng.uniform(2.0, 3.0, (5, 3))
+            want = collision_and_empty(g, pts)
+            got = collision_and_empty(g, pts, grid=_SceneGrid(pts))
+            for a, b in zip(got, want):
+                np.testing.assert_array_equal(a, b)
+
+    def test_grid_empty_scene(self):
+        from graspnet_tpu.eval.ap import _SceneGrid
+
+        pts = np.zeros((0, 3), np.float32)
+        coll, empty, cen = collision_and_empty(
+            self._grasp(), pts, grid=_SceneGrid(pts)
+        )
+        assert not coll[0] and empty[0]
+
 
 class TestAccuracyMatrix:
     def test_exact_formula(self):
