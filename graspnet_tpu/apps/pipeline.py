@@ -272,6 +272,7 @@ class GraspPipeline:
         collision_thresh: float = -1.0,
         nms: bool = True,
         top_k: int = 50,
+        voxel_size: float = 0.01,
     ) -> GraspGroup:
         """Full frame pipeline. collision_thresh <= 0 skips the filter
         (reference README.md:72 convention: -1 disables it)."""
@@ -281,7 +282,9 @@ class GraspPipeline:
             return self.get_grasps_topk(cloud_sampled, top_k=top_k)
         gg = self.get_grasps(cloud_sampled)
         if collision_thresh > 0 and scene_cloud is not None:
-            gg = self.collision_filter(gg, scene_cloud, collision_thresh)
+            gg = self.collision_filter(
+                gg, scene_cloud, collision_thresh, voxel_size
+            )
         gg = gg.sort_by_score()
         if nms:
             gg = gg.nms()

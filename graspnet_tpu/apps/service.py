@@ -42,6 +42,20 @@ class ServiceConfig:
     # devices (parallel.candidate_sharded_infer) — the multi-chip LATENCY
     # path for robot serving; 1 = single chip
     candidate_devices: int = 1
+    # shard coalesced request batches one-frame-per-chip over a 1-D data
+    # mesh — the multi-chip THROUGHPUT path for fleet serving (requires
+    # max_batch >= data_devices; single-frame latency is candidate_devices'
+    # job).  Mutually exclusive with candidate_devices > 1.
+    data_devices: int = 1
+    # dynamic micro-batching (apps/batching.py): concurrent requests
+    # coalesce into one batched device dispatch, up to max_batch or until
+    # batch_wait_ms passes since the first waiter; 1 = per-request
+    # programs.  On ONE chip this saves only dispatch overhead (the
+    # serving kernels are full-width at batch 1 — PERF.md); its real
+    # domain is data_devices > 1, where a coalesced batch shards
+    # one-frame-per-chip.
+    max_batch: int = 1
+    batch_wait_ms: float = 3.0
     top_k: int = 50
     # fixed rotation offsets (x, y, z, w quaternions) chained onto the
     # published TF's rotation, R_final = R_raw · R(q1) · R(q2) (reference
@@ -61,16 +75,48 @@ class GraspService:
         self.cfg = cfg
         model_cfg = cfg.model_cfg or GraspNetConfig(num_point=cfg.num_point)
         mesh = None
+        if cfg.candidate_devices > 1 and cfg.data_devices > 1:
+            raise ValueError(
+                "candidate_devices and data_devices are mutually exclusive "
+                "in the service (latency vs throughput sharding)"
+            )
         if cfg.candidate_devices > 1:
             from graspnet_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(cfg.candidate_devices, ("candidate",))
+        elif cfg.data_devices > 1:
+            if cfg.max_batch % cfg.data_devices != 0:
+                raise ValueError(
+                    "data_devices requires micro-batching with max_batch a "
+                    f"multiple of it (got max_batch={cfg.max_batch}, "
+                    f"data_devices={cfg.data_devices})"
+                )
+            from graspnet_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(cfg.data_devices, ("data",))
         self.pipe = GraspPipeline(
             cfg=model_cfg, checkpoint_path=cfg.checkpoint_path, mesh=mesh
         )
         # compile the program compute() actually runs (top_k=0 there: the
         # service filters before truncating, so run() takes the raw path)
-        self.pipe.warmup(collision_thresh=cfg.collision_thresh, top_k=0)
+        self.batcher = None
+        if cfg.max_batch > 1:
+            from graspnet_tpu.apps.batching import MicroBatcher
+
+            self.batcher = MicroBatcher(
+                self.pipe,
+                max_batch=cfg.max_batch,
+                max_wait_ms=cfg.batch_wait_ms,
+                collision_thresh=cfg.collision_thresh,
+                voxel_size=cfg.voxel_size,
+            )
+            self.batcher.warmup()
+        else:
+            self.pipe.warmup(collision_thresh=cfg.collision_thresh, top_k=0)
+
+    def close(self):
+        if self.batcher is not None:
+            self.batcher.close()
 
     # -- filters (reference grasp_service.py:113-150, 263-269) -------------
     @staticmethod
@@ -119,12 +165,28 @@ class GraspService:
         if len(cloud) < max(100, self.pipe.cfg.num_point // 10):
             return {"ok": False, "error": "not enough points in depth range"}
         sampled = self.pipe.sample_cloud(cloud)
-        gg = self.pipe.run(
-            sampled,
-            scene_cloud=cloud,
-            collision_thresh=c.collision_thresh,
-            top_k=0,  # filter before truncating
-        )
+        if self.batcher is not None:
+            # micro-batched path: downsample on THIS request thread (host
+            # work parallelizes across concurrent requests), then coalesce
+            # the device work with concurrent requests.  Result-identical
+            # to the per-request path below (tests/test_service_batching.py)
+            from graspnet_tpu import native
+
+            ds = (
+                native.voxel_downsample(cloud, c.voxel_size)
+                if c.collision_thresh > 0
+                else None
+            )
+            gg = self.batcher.submit(sampled, ds)
+            gg = gg.sort_by_score().nms()
+        else:
+            gg = self.pipe.run(
+                sampled,
+                scene_cloud=cloud,
+                collision_thresh=c.collision_thresh,
+                voxel_size=c.voxel_size,
+                top_k=0,  # filter before truncating
+            )
         if mask_points is not None:
             gg = self.filter_by_mask_proximity(gg, mask_points, c.seg_proximity_thresh)
         if world_from_camera is not None and c.max_world_z_for_approach is not None:
@@ -501,6 +563,20 @@ def main():
         help="shard each frame's candidate sweep over N local chips "
         "(latency path; params replicate, seeds split, one all-gather)",
     )
+    p.add_argument(
+        "--data_devices", type=int, default=1,
+        help="shard coalesced request batches one-frame-per-chip over N "
+        "local chips (throughput path; requires --max_batch >= N)",
+    )
+    p.add_argument(
+        "--max_batch", type=int, default=1,
+        help="micro-batch concurrent requests into one device dispatch "
+        "(throughput path for multi-camera / fleet serving); 1 disables",
+    )
+    p.add_argument(
+        "--batch_wait_ms", type=float, default=3.0,
+        help="how long the first request of a batch waits for companions",
+    )
     p.add_argument("--camera_link", default="camera_link")
     p.add_argument("--world_frame", default="world")
     p.add_argument("--max_world_z_for_approach", type=float, default=None)
@@ -511,6 +587,9 @@ def main():
         num_point=args.num_point,
         max_world_z_for_approach=args.max_world_z_for_approach,
         candidate_devices=args.candidate_devices,
+        data_devices=args.data_devices,
+        max_batch=args.max_batch,
+        batch_wait_ms=args.batch_wait_ms,
     )
     if args.ros_consumer:
         run_ros_consumer_node(
