@@ -75,22 +75,28 @@ class GraspService:
         self.cfg = cfg
         model_cfg = cfg.model_cfg or GraspNetConfig(num_point=cfg.num_point)
         mesh = None
-        if cfg.candidate_devices > 1 and cfg.data_devices > 1:
+        if cfg.data_devices > 1 and cfg.max_batch % cfg.data_devices != 0:
             raise ValueError(
-                "candidate_devices and data_devices are mutually exclusive "
-                "in the service (latency vs throughput sharding)"
+                "data_devices requires micro-batching with max_batch a "
+                f"multiple of it (got max_batch={cfg.max_batch}, "
+                f"data_devices={cfg.data_devices})"
             )
-        if cfg.candidate_devices > 1:
+        if cfg.candidate_devices > 1 and cfg.data_devices > 1:
+            # hybrid 2-D mesh: coalesced batches shard over 'data', each
+            # frame's candidate sweep over 'candidate' (the same hybrid
+            # program apps/test.py and training use)
+            from graspnet_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(
+                cfg.data_devices * cfg.candidate_devices,
+                ("data", "candidate"),
+                shape=(cfg.data_devices, cfg.candidate_devices),
+            )
+        elif cfg.candidate_devices > 1:
             from graspnet_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(cfg.candidate_devices, ("candidate",))
         elif cfg.data_devices > 1:
-            if cfg.max_batch % cfg.data_devices != 0:
-                raise ValueError(
-                    "data_devices requires micro-batching with max_batch a "
-                    f"multiple of it (got max_batch={cfg.max_batch}, "
-                    f"data_devices={cfg.data_devices})"
-                )
             from graspnet_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(cfg.data_devices, ("data",))

@@ -207,19 +207,50 @@ class TestBatchedService:
         finally:
             svc.close()
 
-    def test_mutually_exclusive_shardings_rejected(self):
+    def test_data_devices_requires_divisible_max_batch(self):
         cfg = GraspNetConfig.tiny()
-        with pytest.raises(ValueError, match="mutually exclusive"):
-            GraspService(
-                ServiceConfig(
-                    model_cfg=cfg, candidate_devices=2, data_devices=2,
-                    max_batch=2,
-                )
-            )
         with pytest.raises(ValueError, match="multiple"):
             GraspService(
                 ServiceConfig(model_cfg=cfg, data_devices=3, max_batch=4)
             )
+
+    def test_hybrid_data_candidate_service(self, services, rng):
+        """data x candidate 2-D mesh: coalesced batches shard over 'data',
+        each frame's candidate sweep over 'candidate' — results must equal
+        the plain single-device service."""
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs the virtual multi-device mesh")
+        _, plain = services
+        cfg = GraspNetConfig.tiny()
+        svc = GraspService(
+            ServiceConfig(
+                model_cfg=cfg, depth_min=0.0, depth_max=10.0,
+                collision_thresh=0.01, max_batch=2, data_devices=2,
+                candidate_devices=2, batch_wait_ms=50.0,
+            )
+        )
+        try:
+            clouds = [scene_cloud(rng) for _ in range(2)]
+            outs = [None] * 2
+
+            def work(i):
+                outs[i] = svc.compute(clouds[i])
+
+            ts = [threading.Thread(target=work, args=(i,)) for i in range(2)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            for i in range(2):
+                want = plain.compute(clouds[i])
+                assert outs[i]["ok"] == want["ok"]
+                np.testing.assert_allclose(
+                    outs[i]["best_pose"], want["best_pose"], atol=1e-5
+                )
+        finally:
+            svc.close()
 
     def test_tcp_concurrent_requests(self, services, rng):
         batched, _ = services
