@@ -135,6 +135,17 @@ class MicroBatcher:
             self._closed = True
             self._q.put(None)
             self._thread.join(timeout=30.0)
+            # a submit() racing close() can slip its item in behind the
+            # sentinel; fail it rather than leave the caller blocked
+            while True:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None and not item.future.done():
+                    item.future.set_exception(
+                        RuntimeError("MicroBatcher closed")
+                    )
 
     # ---------------------------------------------------------- worker ----
 

@@ -108,7 +108,10 @@ def main():
         "concurrent client threads otherwise overlap. Its deployment "
         "domain is data_devices > 1, where a coalesced batch shards "
         "one-frame-per-chip (validated on the virtual mesh in "
-        "tests/test_service_batching.py).",
+        "tests/test_service_batching.py). ok=0 under random-init weights "
+        "is expected (every decoded grasp collides; the 'no valid grasp' "
+        "reply still paid the full inference + collision + sort/NMS work "
+        "this bench times).",
     }
     print(json.dumps(result, indent=1))
     if args.out:
