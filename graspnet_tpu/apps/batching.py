@@ -20,7 +20,8 @@ collision masks are pinned batch-vs-per-frame in tests/test_postproc.py.
 Latency contract: a lone request waits at most ``max_wait_ms`` beyond its
 own inference; under load the wait is filled by real coalescing.  Batch
 shapes are bucketed to powers of two so the jit cache sees a handful of
-shapes; ``warmup()`` precompiles them all.
+shapes; ``warmup()`` precompiles every inference bucket plus the most
+common collision bucket (see its docstring for the coverage caveat).
 """
 
 from __future__ import annotations
@@ -89,6 +90,7 @@ class MicroBatcher:
         self.frames = 0
         self._q: "queue.SimpleQueue" = queue.SimpleQueue()
         self._closed = False
+        self._lock = threading.Lock()  # serializes submit-vs-close
         self._thread = threading.Thread(
             target=self._loop, name="micro-batcher", daemon=True
         )
@@ -97,7 +99,15 @@ class MicroBatcher:
     # ------------------------------------------------------------- API ----
 
     def warmup(self) -> float:
-        """Compile every bucket's batched program; returns wall seconds."""
+        """Compile the bucketed programs; returns wall seconds.
+
+        Covers every inference bucket, plus the batched collision program
+        at the full bucket for the most common grasp-row bucket (1024, the
+        decode ceiling) and the 8192-point scene bucket.  Collision
+        batches at other (Mpad, Npad) buckets still compile on first
+        live use (the persistent compile cache makes that a one-time cost
+        per shape across restarts).
+        """
         import jax
         import jax.numpy as jnp
 
@@ -108,6 +118,26 @@ class MicroBatcher:
             )
             jax.block_until_ready(
                 self.pipe._infer_for_batch(b)(self.pipe.params, dummy)
+            )
+        if self.collision_thresh > 0:
+            from graspnet_tpu.postproc.collision import (
+                _collision_counts_rows_batch,
+            )
+
+            from graspnet_tpu.postproc.collision import FINGER_WIDTH
+
+            pts = jnp.full((self.max_batch, 8192, 3), 1e9, jnp.float32)
+            rows = jnp.zeros((self.max_batch, 1024, 17), jnp.float32)
+            rows = rows.at[:, :, 4:13].set(jnp.eye(3).reshape(9))
+            jax.block_until_ready(
+                _collision_counts_rows_batch(
+                    pts, rows,
+                    # same static-arg clamp detect_batch applies
+                    approach_dist=float(
+                        max(self.approach_dist, FINGER_WIDTH)
+                    ),
+                    voxel_size=self.voxel_size,
+                )
             )
         return time.perf_counter() - t0
 
@@ -123,29 +153,40 @@ class MicroBatcher:
         that host work runs in parallel across requests instead of
         serializing inside the batch worker).
         """
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         item = _Item(np.asarray(cloud_sampled, np.float32), scene_cloud_downsampled)
-        self._q.put(item)
+        with self._lock:  # closed-check + put must be atomic vs close()
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._q.put(item)
         return item.future.result()
 
     def close(self):
         """Stop the worker; pending requests still complete first."""
-        if not self._closed:
+        with self._lock:
+            if self._closed:
+                return
             self._closed = True
-            self._q.put(None)
-            self._thread.join(timeout=30.0)
-            # a submit() racing close() can slip its item in behind the
-            # sentinel; fail it rather than leave the caller blocked
-            while True:
-                try:
-                    item = self._q.get_nowait()
-                except queue.Empty:
-                    break
-                if item is not None and not item.future.done():
-                    item.future.set_exception(
-                        RuntimeError("MicroBatcher closed")
-                    )
+            self._q.put(None)  # behind every accepted item (lock order)
+        self._thread.join(timeout=30.0)
+        if self._thread.is_alive():
+            # worker still mid-batch after the grace period (e.g. a cold
+            # compile): leave the queue alone — it still holds the
+            # sentinel the worker needs to exit, and draining here would
+            # steal it (worker would block in get() forever) and fail
+            # requests it is about to serve
+            return
+        # worker exited; nothing can be enqueued after the sentinel (the
+        # lock orders every accepted put before it), so any leftover is a
+        # stray sentinel only — drain defensively
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item.future.done():
+                item.future.set_exception(
+                    RuntimeError("MicroBatcher closed")
+                )
 
     # ---------------------------------------------------------- worker ----
 

@@ -42,10 +42,11 @@ class ServiceConfig:
     # devices (parallel.candidate_sharded_infer) — the multi-chip LATENCY
     # path for robot serving; 1 = single chip
     candidate_devices: int = 1
-    # shard coalesced request batches one-frame-per-chip over a 1-D data
-    # mesh — the multi-chip THROUGHPUT path for fleet serving (requires
-    # max_batch >= data_devices; single-frame latency is candidate_devices'
-    # job).  Mutually exclusive with candidate_devices > 1.
+    # shard coalesced request batches one-frame-per-chip over a 'data'
+    # mesh axis — the multi-chip THROUGHPUT path for fleet serving
+    # (requires max_batch a positive multiple of data_devices;
+    # single-frame latency is candidate_devices' job).  Composes with
+    # candidate_devices > 1 into a hybrid 2-D data x candidate mesh.
     data_devices: int = 1
     # dynamic micro-batching (apps/batching.py): concurrent requests
     # coalesce into one batched device dispatch, up to max_batch or until
@@ -75,10 +76,13 @@ class GraspService:
         self.cfg = cfg
         model_cfg = cfg.model_cfg or GraspNetConfig(num_point=cfg.num_point)
         mesh = None
-        if cfg.data_devices > 1 and cfg.max_batch % cfg.data_devices != 0:
+        if cfg.data_devices > 1 and (
+            cfg.max_batch < cfg.data_devices
+            or cfg.max_batch % cfg.data_devices != 0
+        ):
             raise ValueError(
                 "data_devices requires micro-batching with max_batch a "
-                f"multiple of it (got max_batch={cfg.max_batch}, "
+                f"positive multiple of it (got max_batch={cfg.max_batch}, "
                 f"data_devices={cfg.data_devices})"
             )
         if cfg.candidate_devices > 1 and cfg.data_devices > 1:

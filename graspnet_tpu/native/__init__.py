@@ -116,8 +116,23 @@ def nearest(query: np.ndarray, ref: np.ndarray) -> np.ndarray:
     query = np.ascontiguousarray(query, dtype=np.float32)
     ref = np.ascontiguousarray(ref, dtype=np.float32)
     if lib is None:
-        d2 = np.sum((query[:, None] - ref[None]) ** 2, axis=-1)
-        return np.argmin(d2, axis=1).astype(np.int32)
+        # blocked over ref so the fallback stays O(Nq x block) memory —
+        # a full (Nq, Nr, 3) broadcast is gigabytes for eval-sized scenes.
+        # Strictly-less update keeps the first-occurrence argmin the C++
+        # path and np.argmin share.
+        out = np.zeros(len(query), dtype=np.int32)
+        best = np.full(len(query), np.inf, dtype=np.float32)
+        step = 8192
+        for s in range(0, len(ref), step):
+            d2 = np.sum(
+                (query[:, None] - ref[None, s : s + step]) ** 2, axis=-1
+            )
+            arg = d2.argmin(axis=1)
+            dmin = d2[np.arange(len(query)), arg]
+            upd = dmin < best
+            best[upd] = dmin[upd]
+            out[upd] = (arg[upd] + s).astype(np.int32)
+        return out
     out = np.empty(len(query), dtype=np.int32)
     lib.gn_nearest(query, len(query), ref, len(ref), out)
     return out

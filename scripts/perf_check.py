@@ -34,6 +34,11 @@ JITTER_K = 1.0
 MAX_JITTER_MS = 0.3
 MIN_JITTER_MS = 0.05
 ABS_FLOOR_MS = 0.05  # ignore sub-noise stages entirely
+# Stages committed BELOW the noise floor (e.g. the no-op 'scan overhead
+# baseline', whose committed slope is slightly negative) measure the
+# harness's zero point, not a budget: the scaled allowance around ~0 is
+# meaninglessly tight, so they pass under an absolute ceiling instead.
+SUBNOISE_CEILING_MS = 0.15
 
 
 def allowed_ms(ms: float) -> float:
@@ -74,7 +79,7 @@ def check_artifact(path: str) -> bool:
             print(f"  MISSING  {name} (committed {ms:.3f} ms)")
             ok = False
             continue
-        if ms < ABS_FLOOR_MS and got < ABS_FLOOR_MS:
+        if ms < ABS_FLOOR_MS and got < SUBNOISE_CEILING_MS:
             verdict = "ok (sub-noise)"
         elif got <= allowed_ms(ms):
             verdict = "ok"

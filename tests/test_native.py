@@ -60,6 +60,22 @@ class TestNativeVoxel:
         np.testing.assert_allclose(a_sorted, b_sorted, atol=1e-5)
 
 
+def test_nearest_numpy_fallback_blocked(rng, monkeypatch):
+    """The lib-less fallback must stay blocked (O(Nq x block) memory) and
+    still match the full-broadcast argmin exactly, ref sizes straddling
+    the 8192 block boundary included."""
+    import graspnet_tpu.native as native_mod
+
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_tried", True)
+    q = rng.uniform(-1, 1, (150, 3)).astype(np.float32)
+    for nr in (5, 8192, 8193, 20000):
+        r = rng.uniform(-1, 1, (nr, 3)).astype(np.float32)
+        got = native_mod.nearest(q, r)
+        want = np.argmin(np.sum((q[:, None] - r[None]) ** 2, axis=-1), axis=1)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_fallbacks_work_regardless(rng):
     """The public wrappers must work whether or not the lib built."""
     pts = rng.uniform(-0.5, 0.5, (300, 3)).astype(np.float32)
