@@ -143,6 +143,18 @@ class GraspNetDataset:
             int(os.environ.get("GRASPNET_STAT_CACHE_MB", "4096")) * 1024 * 1024
         )
 
+        # decoded-frame LRU: apps/test.py reads every eval frame TWICE —
+        # get_data() for the sampled net input, then get_raw_cloud() for
+        # the full-resolution collision filter — and each _load_frame is
+        # ~100 ms of PNG decode + backprojection on the 2-core host.
+        # Callers only fancy-index the returned arrays (never mutate), so
+        # sharing entries across threads is safe.  ~10 MB/frame.
+        from collections import OrderedDict
+
+        self._frame_cache: "OrderedDict[Tuple[str, int], tuple]" = OrderedDict()
+        self._frame_lock = threading.Lock()
+        self._frame_cache_cap = int(os.environ.get("GRASPNET_FRAME_CACHE", "32"))
+
         self.scene_ids = [f"scene_{i:04d}" for i in SPLITS[split]]
         self.frames: List[Tuple[str, int]] = []
         self.collision_labels: Dict[str, Dict[int, np.ndarray]] = {}
@@ -174,6 +186,21 @@ class GraspNetDataset:
 
     # ------------------------------------------------------------ loading --
     def _load_frame(self, scene: str, frame: int):
+        key = (scene, frame)
+        with self._frame_lock:
+            hit = self._frame_cache.get(key)
+            if hit is not None:
+                self._frame_cache.move_to_end(key)
+                return hit
+        out = self._load_frame_uncached(scene, frame)
+        with self._frame_lock:
+            self._frame_cache[key] = out
+            self._frame_cache.move_to_end(key)
+            while len(self._frame_cache) > self._frame_cache_cap:
+                self._frame_cache.popitem(last=False)
+        return out
+
+    def _load_frame_uncached(self, scene: str, frame: int):
         import scipy.io as scio
         from PIL import Image
 

@@ -103,6 +103,33 @@ class TestDataset:
         sample = d.get_data(0)
         assert sample["point_clouds"].shape == (cfg.num_point, 3)
 
+    def test_frame_cache_decodes_once_and_caps(self, fake_root, cfg):
+        """The eval app reads each frame twice (get_data + get_raw_cloud);
+        the LRU must serve the second read without re-decoding, evict
+        beyond its cap, and hand back identical arrays."""
+        d = ds.GraspNetDataset(
+            fake_root, camera="kinect", split="test_seen",
+            num_points=cfg.num_point, load_label=False, cfg=cfg,
+        )
+        calls = {"n": 0}
+        orig = d._load_frame_uncached
+
+        def counting(scene, frame):
+            calls["n"] += 1
+            return orig(scene, frame)
+
+        d._load_frame_uncached = counting
+        raw0 = d.get_raw_cloud(0)
+        d.get_data(0)
+        assert calls["n"] == 1  # second read was a cache hit
+        np.testing.assert_array_equal(raw0, d.get_raw_cloud(0))
+        assert calls["n"] == 1
+        d._frame_cache_cap = 1
+        d.get_data(1)  # evicts frame 0
+        assert len(d._frame_cache) == 1
+        d.get_raw_cloud(0)  # miss -> re-decode
+        assert calls["n"] == 3
+
     def test_get_data_label_shapes(self, fake_root, cfg):
         valid, labels = ds.load_grasp_labels(fake_root, num_objects=3)
         d = ds.GraspNetDataset(
