@@ -198,11 +198,22 @@ class GraspPipeline:
         Batching frames amortizes kernel-launch overheads — the eval sweep
         over the 190-scene test split runs ~B times fewer program dispatches.
         """
-        t0 = time.perf_counter()
-        grasps, valid = self._infer_for_batch(len(clouds))(
+        return self.finish_grasps_batch(self.dispatch_grasps_batch(clouds))
+
+    def dispatch_grasps_batch(self, clouds: np.ndarray):
+        """Async half of get_grasps_batch: enqueue the program, return
+        device refs immediately (jax async dispatch).  Lets a pipelined
+        caller overlap this batch's device work + result fetch with the
+        next batch's host work — apps/test.py fetches on its postproc
+        thread."""
+        return self._infer_for_batch(len(clouds))(
             self.params, jnp.asarray(clouds, jnp.float32)
         )
-        grasps, valid = jax.device_get((grasps, valid))
+
+    def finish_grasps_batch(self, refs) -> list:
+        """Blocking half: fetch the decode refs, build per-frame groups."""
+        t0 = time.perf_counter()
+        grasps, valid = jax.device_get(refs)
         self.timings.infer_s = time.perf_counter() - t0
         return [GraspGroup(g[v]) for g, v in zip(grasps, valid)]
 

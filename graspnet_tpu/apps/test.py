@@ -112,7 +112,12 @@ def inference(args, cfg, dataset=None):
                 dataset.get_raw_cloud(i), args.voxel_size
             )
 
-    def postproc_batch(ids, ggs, ds_futs):
+    def postproc_batch(ids, refs, ds_futs):
+        # fetch the decode results HERE (not on the dispatch loop): the
+        # main thread has already moved on to the next batch, so this
+        # batch's device time + result transfer overlap that host work
+        with timer.stage("fetch"):
+            ggs = pipe.finish_grasps_batch(refs)[: len(ids)]
         if args.collision_thresh > 0:
             ds = [f.result() for f in ds_futs]
             with timer.stage("collision"):
@@ -147,10 +152,14 @@ def inference(args, cfg, dataset=None):
                     # mesh divisibility requirement); extra rows discarded
                     pad = np.repeat(clouds[-1:], bs - len(ids), axis=0)
                     clouds = np.concatenate([clouds, pad], axis=0)
-                ggs = pipe.get_grasps_batch(clouds)[: len(ids)]
+                refs = pipe.dispatch_grasps_batch(clouds)
             post_futures.append(
-                batch_pool.submit(postproc_batch, ids, ggs, ds_futs)
+                batch_pool.submit(postproc_batch, ids, refs, ds_futs)
             )
+            # backpressure: bound in-flight batches so device result
+            # buffers and undumped groups don't pile up if postproc lags
+            while len(post_futures) > 3:
+                post_futures.pop(0).result()
             # surface postproc failures immediately instead of after the
             # whole split has been inferred
             still = []
