@@ -89,12 +89,22 @@ class MicroBatcher:
         self.dispatches = 0  # batched program launches (observability)
         self.frames = 0
         self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+        # two-stage pipeline: the collect/dispatch thread enqueues the
+        # program and hands (batch, device refs) to the finish thread,
+        # which fetches + collision-filters + delivers — so batch k's
+        # device time / result transfer overlap batch k+1's collection
+        # and dispatch.  Bounded to 2 in-flight batches for backpressure.
+        self._q2: "queue.Queue" = queue.Queue(maxsize=2)
         self._closed = False
         self._lock = threading.Lock()  # serializes submit-vs-close
         self._thread = threading.Thread(
             target=self._loop, name="micro-batcher", daemon=True
         )
+        self._finish_thread = threading.Thread(
+            target=self._finish_loop, name="micro-batcher-finish", daemon=True
+        )
         self._thread.start()
+        self._finish_thread.start()
 
     # ------------------------------------------------------------- API ----
 
@@ -168,6 +178,10 @@ class MicroBatcher:
             self._closed = True
             self._q.put(None)  # behind every accepted item (lock order)
         self._thread.join(timeout=30.0)
+        if not self._thread.is_alive():
+            # collector exited -> the q2 sentinel is enqueued; give the
+            # finisher its own grace period to drain in-flight batches
+            self._finish_thread.join(timeout=30.0)
         if self._thread.is_alive():
             # worker still mid-batch after the grace period (e.g. a cold
             # compile): leave the queue alone — it still holds the
@@ -210,13 +224,16 @@ class MicroBatcher:
             batch.append(nxt)
         return batch
 
-    def _run_batch(self, batch: Sequence[_Item]):
+    def _dispatch_batch(self, batch: Sequence[_Item]):
         bs = next(b for b in self.buckets if b >= len(batch))
         clouds = np.stack(
             [it.sampled for it in batch]
             + [batch[-1].sampled] * (bs - len(batch))
         )
-        ggs = self.pipe.get_grasps_batch(clouds)[: len(batch)]
+        return bs, self.pipe.dispatch_grasps_batch(clouds)
+
+    def _finish_batch(self, batch: Sequence[_Item], bs: int, refs):
+        ggs = self.pipe.finish_grasps_batch(refs)[: len(batch)]
         if self.collision_thresh > 0:
             idx = [i for i, it in enumerate(batch) if it.scene_ds is not None]
             if idx:
@@ -242,15 +259,31 @@ class MicroBatcher:
         while True:
             batch = self._collect()
             if batch is None:
+                self._q2.put(None)  # propagate shutdown to the finisher
                 return
             try:
-                ggs = self._run_batch(batch)
+                bs, refs = self._dispatch_batch(batch)
             except BaseException as e:  # noqa: BLE001 — deliver, don't die
                 for it in batch:
                     if not it.future.done():
                         it.future.set_exception(e)
                 continue
             self.dispatches += 1
+            self._q2.put((batch, bs, refs))
+
+    def _finish_loop(self):
+        while True:
+            got = self._q2.get()
+            if got is None:
+                return
+            batch, bs, refs = got
+            try:
+                ggs = self._finish_batch(batch, bs, refs)
+            except BaseException as e:  # noqa: BLE001 — deliver, don't die
+                for it in batch:
+                    if not it.future.done():
+                        it.future.set_exception(e)
+                continue
             self.frames += len(batch)
             for it, gg in zip(batch, ggs):
                 it.future.set_result(gg)

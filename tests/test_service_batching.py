@@ -100,7 +100,7 @@ class TestMicroBatcher:
 
     def test_error_propagates_and_worker_survives(self, pipe, rng):
         mb = MicroBatcher(pipe, max_batch=2, max_wait_ms=1.0)
-        orig = pipe.get_grasps_batch
+        orig = pipe.dispatch_grasps_batch
         calls = {"n": 0}
 
         def boom(clouds):
@@ -109,7 +109,7 @@ class TestMicroBatcher:
                 raise ValueError("injected batch failure")
             return orig(clouds)
 
-        pipe.get_grasps_batch = boom
+        pipe.dispatch_grasps_batch = boom
         try:
             good = pipe.sample_cloud(scene_cloud(rng))
             with pytest.raises(ValueError, match="injected"):
@@ -118,7 +118,31 @@ class TestMicroBatcher:
             gg = mb.submit(good)
             assert gg.grasp_group_array.shape[1] == 17
         finally:
-            pipe.get_grasps_batch = orig
+            pipe.dispatch_grasps_batch = orig
+            mb.close()
+
+    def test_finish_stage_error_propagates(self, pipe, rng):
+        """A failure in the fetch/collision stage (second pipeline thread)
+        must reach the caller and leave the finisher serving."""
+        mb = MicroBatcher(pipe, max_batch=2, max_wait_ms=1.0)
+        orig = pipe.finish_grasps_batch
+        calls = {"n": 0}
+
+        def boom(refs):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise ValueError("injected finish failure")
+            return orig(refs)
+
+        pipe.finish_grasps_batch = boom
+        try:
+            good = pipe.sample_cloud(scene_cloud(rng))
+            with pytest.raises(ValueError, match="injected"):
+                mb.submit(good)
+            gg = mb.submit(good)
+            assert gg.grasp_group_array.shape[1] == 17
+        finally:
+            pipe.finish_grasps_batch = orig
             mb.close()
 
     def test_close_rejects_new_submits(self, pipe):
