@@ -144,6 +144,15 @@ class _SceneGrid:
         self.n = len(points)
         if self.n == 0:
             return
+        built = native.grid_build(points, self.cell)
+        if built is not None:
+            # two O(N) C++ passes; same float64 quantization + packing as
+            # the numpy construction below (byte-parity test in
+            # tests/test_native.py), ~6x at eval scene sizes
+            self.order, self.uniq, st, self.minb, self.dims = built
+            self.starts = st[:-1]
+            self.ends = st[1:]
+            return
         p64 = points.astype(np.float64)
         self.minb = p64.min(axis=0)
         coords = np.floor((p64 - self.minb) / self.cell).astype(np.int64)

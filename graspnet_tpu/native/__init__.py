@@ -87,6 +87,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             f32p, f32p, i32p, ctypes.c_int, ctypes.c_float, ctypes.c_float, i32p,
         ]
         lib.gn_grasp_nms.restype = ctypes.c_int
+        u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.gn_grid_build.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_double, i32p, u64p, i64p,
+            f64p, i64p,
+        ]
+        lib.gn_grid_build.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -269,6 +277,39 @@ def greedy_suppress(close: np.ndarray, order: np.ndarray) -> np.ndarray:
     keep = np.empty(m, dtype=np.int32)
     nk = lib.gn_greedy_suppress(close.reshape(-1), order, m, keep)
     return keep[:nk].astype(np.int64)
+
+
+def grid_build(pts: np.ndarray, cell: float):
+    """Uniform-grid index over (N, 3) points for eval/ap._SceneGrid.
+
+    Returns (order, uniq_keys, starts, minb, dims): point indices grouped
+    by cell (ascending within each cell), the SORTED unique packed cell
+    keys, group offsets (len ncells+1), the float64 min bound, and the
+    grid dims — byte-identical to the numpy argsort/unique construction
+    (same float64 quantization and packing), built in two O(N) passes.
+    Returns None when the native lib is unavailable (callers keep their
+    numpy path).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, dtype=np.float32)
+    n = len(pts)
+    if n == 0:
+        return (
+            np.empty(0, np.int32), np.empty(0, np.uint64),
+            np.zeros(1, np.int64), np.zeros(3, np.float64),
+            np.zeros(3, np.int64),
+        )
+    order = np.empty(n, np.int32)
+    keys = np.empty(n, np.uint64)
+    starts = np.empty(n + 1, np.int64)
+    minb = np.empty(3, np.float64)
+    dims = np.empty(3, np.int64)
+    nc = lib.gn_grid_build(pts, n, float(cell), order, keys, starts, minb, dims)
+    # int64 keys to match the numpy construction's dtype (packed coords
+    # are far below 2^63 — dims are per-axis cell counts of a real scene)
+    return order, keys[:nc].astype(np.int64), starts[: nc + 1].copy(), minb, dims
 
 
 def voxel_downsample(pts: np.ndarray, voxel: float) -> np.ndarray:

@@ -10,6 +10,7 @@
 //
 // Exposed via a plain C ABI for ctypes (no pybind11 in this toolchain).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -278,6 +279,91 @@ void gn_nearest(const float* query, int nq, const float* ref, int nr,
     }
     out[i] = besti;
   }
+}
+
+// Uniform-grid index build for eval/ap._SceneGrid: groups point indices
+// by cell (cell keys packed EXACTLY as the numpy path — double-precision
+// floor((p - min)/cell), dims = max coord + 1, row-major packing — so the
+// Python consumer's searchsorted lookups see identical keys).  Outputs:
+//   order  (n)  : point indices grouped by cell; ascending WITHIN a cell
+//   keys   (n)  : first `ncells` entries = sorted unique cell keys
+//   starts (n+1): first `ncells`+1 entries = group offsets into order
+// Returns ncells (0 when n == 0).  Replaces an O(n log n) numpy argsort +
+// unique (~12 ms at 136k points) with two O(n) passes (~2 ms).
+int64_t gn_grid_build(const float* pts, int64_t n, double cell,
+                      int32_t* order, uint64_t* keys_out,
+                      int64_t* starts, double* minb_out,
+                      int64_t* dims_out) {
+  if (n == 0) return 0;
+  double* minb = minb_out;
+  minb[0] = minb[1] = minb[2] = 1e300;
+  for (int64_t i = 0; i < n; ++i)
+    for (int c = 0; c < 3; ++c) {
+      const double v = (double)pts[i * 3 + c];
+      if (v < minb[c]) minb[c] = v;
+    }
+  std::vector<int64_t> coords((size_t)n * 3);
+  int64_t* dims = dims_out;
+  dims[0] = dims[1] = dims[2] = 0;
+  for (int64_t i = 0; i < n; ++i)
+    for (int c = 0; c < 3; ++c) {
+      const int64_t q =
+          (int64_t)std::floor(((double)pts[i * 3 + c] - minb[c]) / cell);
+      coords[i * 3 + c] = q;
+      if (q + 1 > dims[c]) dims[c] = q + 1;
+    }
+  std::vector<uint64_t> pkeys((size_t)n);
+  for (int64_t i = 0; i < n; ++i)
+    pkeys[i] = ((uint64_t)coords[i * 3] * (uint64_t)dims[1] +
+                (uint64_t)coords[i * 3 + 1]) *
+                   (uint64_t)dims[2] +
+               (uint64_t)coords[i * 3 + 2];
+  // open-addressing key -> dense group id; counts per group
+  uint64_t cap = 64;
+  while (cap < (uint64_t)(2 * n)) cap <<= 1;
+  const uint64_t smask = cap - 1;
+  const uint64_t kEmpty = UINT64_MAX;
+  std::vector<uint64_t> tkeys(cap, kEmpty);
+  std::vector<int32_t> tgid(cap, -1);
+  std::vector<int64_t> counts;
+  std::vector<uint64_t> uniq;
+  std::vector<uint64_t> slot_of((size_t)n);
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t key = pkeys[i];
+    uint64_t h = key;
+    h ^= h >> 30; h *= 0xbf58476d1ce4e5b9ull;
+    h ^= h >> 27; h *= 0x94d049bb133111ebull;
+    h ^= h >> 31;
+    uint64_t s = h & smask;
+    while (tkeys[s] != key && tkeys[s] != kEmpty) s = (s + 1) & smask;
+    if (tkeys[s] == kEmpty) {
+      tkeys[s] = key;
+      tgid[s] = (int32_t)uniq.size();
+      uniq.push_back(key);
+      counts.push_back(0);
+    }
+    counts[tgid[s]] += 1;
+    slot_of[i] = s;
+  }
+  const int64_t ncells = (int64_t)uniq.size();
+  // sort group ids by key so the Python searchsorted contract holds
+  std::vector<int32_t> perm(ncells);
+  for (int64_t g = 0; g < ncells; ++g) perm[g] = (int32_t)g;
+  std::sort(perm.begin(), perm.end(),
+            [&](int32_t a, int32_t b) { return uniq[a] < uniq[b]; });
+  std::vector<int32_t> rank(ncells);
+  for (int64_t g = 0; g < ncells; ++g) rank[perm[g]] = (int32_t)g;
+  starts[0] = 0;
+  for (int64_t g = 0; g < ncells; ++g) {
+    keys_out[g] = uniq[perm[g]];
+    starts[g + 1] = starts[g] + counts[perm[g]];
+  }
+  std::vector<int64_t> fill(ncells, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t g = rank[tgid[slot_of[i]]];
+    order[starts[g] + fill[g]++] = (int32_t)i;
+  }
+  return ncells;
 }
 
 // Voxel-grid downsample: centroid per occupied voxel, grid anchored at

@@ -60,6 +60,33 @@ class TestNativeVoxel:
         np.testing.assert_allclose(a_sorted, b_sorted, atol=1e-5)
 
 
+@needs_native
+def test_grid_build_matches_numpy_construction(rng):
+    """gn_grid_build must reproduce _SceneGrid's numpy construction
+    byte-for-byte: same unique sorted keys, same group offsets, same
+    per-cell membership with ascending order inside each cell, same
+    min bound and dims."""
+    for trial, n in enumerate((1, 7, 1000, 5000)):
+        pts = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+        cell = 0.08
+        got = native.grid_build(pts, cell)
+        assert got is not None
+        order, uniq, starts, minb, dims = got
+        p64 = pts.astype(np.float64)
+        want_minb = p64.min(axis=0)
+        coords = np.floor((p64 - want_minb) / cell).astype(np.int64)
+        want_dims = coords.max(axis=0) + 1
+        keys = (coords[:, 0] * want_dims[1] + coords[:, 1]) * want_dims[2] + coords[:, 2]
+        want_order = np.argsort(keys, kind="stable")
+        want_uniq, want_starts = np.unique(keys[want_order], return_index=True)
+        np.testing.assert_array_equal(minb, want_minb)
+        np.testing.assert_array_equal(dims, want_dims)
+        np.testing.assert_array_equal(uniq, want_uniq)
+        np.testing.assert_array_equal(starts[:-1], want_starts)
+        assert starts[-1] == n
+        np.testing.assert_array_equal(order, want_order)
+
+
 def test_nearest_numpy_fallback_blocked(rng, monkeypatch):
     """The lib-less fallback must stay blocked (O(Nq x block) memory) and
     still match the full-broadcast argmin exactly, ref sizes straddling
