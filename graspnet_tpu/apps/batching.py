@@ -8,7 +8,9 @@ axis, MXU stages are full-width at B=1 — so a batch of B single-frame
 requests costs ~1/B the dispatch overhead and shares one host round trip).
 MicroBatcher exploits that: concurrent requests coalesce, up to
 ``max_batch`` or until ``max_wait_ms`` passes since the first waiter, into
-ONE ``get_grasps_batch`` dispatch plus ONE batched collision call
+ONE batched decode dispatch (dispatch_grasps_batch / finish_grasps_batch,
+two-stage pipelined across its own worker pair) plus ONE batched collision
+call
 (postproc.collision.detect_batch).
 
 Results are bit-identical to the per-request path: eval-mode BN uses
@@ -93,7 +95,9 @@ class MicroBatcher:
         # program and hands (batch, device refs) to the finish thread,
         # which fetches + collision-filters + delivers — so batch k's
         # device time / result transfer overlap batch k+1's collection
-        # and dispatch.  Bounded to 2 in-flight batches for backpressure.
+        # and dispatch.  Backpressure bound: up to 4 batches of device
+        # result buffers in flight (1 dispatching + 2 queued + 1
+        # finishing).
         self._q2: "queue.Queue" = queue.Queue(maxsize=2)
         self._closed = False
         self._lock = threading.Lock()  # serializes submit-vs-close

@@ -201,18 +201,21 @@ class GraspPipeline:
         return self.finish_grasps_batch(self.dispatch_grasps_batch(clouds))
 
     def dispatch_grasps_batch(self, clouds: np.ndarray):
-        """Async half of get_grasps_batch: enqueue the program, return
-        device refs immediately (jax async dispatch).  Lets a pipelined
-        caller overlap this batch's device work + result fetch with the
-        next batch's host work — apps/test.py fetches on its postproc
-        thread."""
-        return self._infer_for_batch(len(clouds))(
+        """Async half of get_grasps_batch: enqueue the program, return a
+        handle immediately (jax async dispatch).  Lets a pipelined caller
+        overlap this batch's device work + result fetch with the next
+        batch's host work — apps/test.py fetches on its postproc thread."""
+        refs = self._infer_for_batch(len(clouds))(
             self.params, jnp.asarray(clouds, jnp.float32)
         )
+        # dispatch timestamp rides the handle so finish_grasps_batch can
+        # report dispatch->results-on-host time (timings.infer_s keeps its
+        # pre-split meaning even when finish runs on another thread later)
+        return (refs, time.perf_counter())
 
-    def finish_grasps_batch(self, refs) -> list:
+    def finish_grasps_batch(self, handle) -> list:
         """Blocking half: fetch the decode refs, build per-frame groups."""
-        t0 = time.perf_counter()
+        refs, t0 = handle
         grasps, valid = jax.device_get(refs)
         self.timings.infer_s = time.perf_counter() - t0
         return [GraspGroup(g[v]) for g, v in zip(grasps, valid)]

@@ -89,6 +89,11 @@ def inference(args, cfg, dataset=None):
     from graspnet_tpu.utils.tracing import StageTimer, device_trace
 
     n = len(dataset) if args.max_frames is None else min(args.max_frames, len(dataset))
+    if hasattr(dataset, "_frame_cache_cap"):
+        # each frame is read twice (get_data + get_raw_cloud); the LRU must
+        # span the prefetch window (3*bs) plus the postproc backlog
+        # (<= 4 batches) or frames evict before their second read
+        dataset._frame_cache_cap = max(dataset._frame_cache_cap, 8 * bs)
     timer = StageTimer()
     tic = time.time()
     # thread-pool prefetch: frame PNG decode (~100ms/frame) overlaps with

@@ -288,10 +288,14 @@ def grid_build(pts: np.ndarray, cell: float):
     grid dims — byte-identical to the numpy argsort/unique construction
     (same float64 quantization and packing), built in two O(N) passes.
     Returns None when the native lib is unavailable (callers keep their
-    numpy path).
+    numpy path), or when the input is not float32 — the byte-parity claim
+    holds only for float32 points (the native path quantizes the float32
+    values in float64 exactly as numpy does; a float64 input would be
+    downcast first, shifting boundary points into different cells).
     """
     lib = get_lib()
-    if lib is None:
+    pts = np.asarray(pts)
+    if lib is None or pts.dtype != np.float32:
         return None
     pts = np.ascontiguousarray(pts, dtype=np.float32)
     n = len(pts)
