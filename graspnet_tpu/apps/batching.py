@@ -159,6 +159,7 @@ class MicroBatcher:
         self,
         cloud_sampled: np.ndarray,
         scene_cloud_downsampled: Optional[np.ndarray] = None,
+        timeout: Optional[float] = None,
     ):
         """Blocking: returns this request's (collision-filtered) GraspGroup.
 
@@ -166,13 +167,17 @@ class MicroBatcher:
         ``voxel_size`` (callers downsample on their own request thread, so
         that host work runs in parallel across requests instead of
         serializing inside the batch worker).
+
+        ``timeout`` (seconds) bounds the wait on the batched result; on
+        expiry ``concurrent.futures.TimeoutError`` is raised and the
+        request is abandoned to the worker (its slot still computes).
         """
         item = _Item(np.asarray(cloud_sampled, np.float32), scene_cloud_downsampled)
         with self._lock:  # closed-check + put must be atomic vs close()
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
             self._q.put(item)
-        return item.future.result()
+        return item.future.result(timeout=timeout)
 
     def close(self):
         """Stop the worker; pending requests still complete first."""
@@ -188,10 +193,30 @@ class MicroBatcher:
             self._finish_thread.join(timeout=30.0)
         if self._thread.is_alive():
             # worker still mid-batch after the grace period (e.g. a cold
-            # compile): leave the queue alone — it still holds the
-            # sentinel the worker needs to exit, and draining here would
-            # steal it (worker would block in get() forever) and fail
-            # requests it is about to serve
+            # compile or wedged device call).  Items still sitting in the
+            # queue have NOT been dispatched — fail their futures so
+            # callers blocked in submit() don't hang forever — but keep
+            # the sentinel flowing: drain everything, re-enqueue one
+            # sentinel for the worker's eventual exit, then fail the rest.
+            # (_closed is set, so nothing new can be enqueued; if the
+            # worker races us and steals an item mid-drain it will serve
+            # it normally, which is fine.)
+            drained = []
+            while True:
+                try:
+                    drained.append(self._q.get_nowait())
+                except queue.Empty:
+                    break
+            self._q.put(None)
+            for item in drained:
+                if item is not None and not item.future.done():
+                    item.future.set_exception(
+                        RuntimeError(
+                            "MicroBatcher closed before this request was "
+                            "dispatched (worker did not exit within the "
+                            "grace period)"
+                        )
+                    )
             return
         # worker exited; nothing can be enqueued after the sentinel (the
         # lock orders every accepted put before it), so any leftover is a

@@ -92,8 +92,19 @@ def inference(args, cfg, dataset=None):
     if hasattr(dataset, "_frame_cache_cap"):
         # each frame is read twice (get_data + get_raw_cloud); the LRU must
         # span the prefetch window (3*bs) plus the postproc backlog
-        # (<= 4 batches) or frames evict before their second read
-        dataset._frame_cache_cap = max(dataset._frame_cache_cap, 8 * bs)
+        # (<= 4 batches) or frames evict before their second read.  A
+        # user-set GRASPNET_FRAME_CACHE is a memory bound — honor it and
+        # just warn about the re-decode cost instead of overriding.
+        want = 8 * bs
+        if "GRASPNET_FRAME_CACHE" in os.environ:
+            if dataset._frame_cache_cap < want:
+                print(
+                    f"GRASPNET_FRAME_CACHE={dataset._frame_cache_cap} < {want}"
+                    " (8*batch); honoring the bound — frames may be decoded"
+                    " twice"
+                )
+        else:
+            dataset._frame_cache_cap = max(dataset._frame_cache_cap, want)
     timer = StageTimer()
     tic = time.time()
     # thread-pool prefetch: frame PNG decode (~100ms/frame) overlaps with

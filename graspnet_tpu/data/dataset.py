@@ -193,6 +193,13 @@ class GraspNetDataset:
                 self._frame_cache.move_to_end(key)
                 return hit
         out = self._load_frame_uncached(scene, frame)
+        # cached arrays are shared across threads and returned aliased
+        # (get_raw_cloud / get_data fancy-index, never mutate); freeze them
+        # so an accidental in-place write raises instead of silently
+        # corrupting every concurrent reader of this frame
+        for x in out:
+            if isinstance(x, np.ndarray):
+                x.flags.writeable = False
         with self._frame_lock:
             self._frame_cache[key] = out
             self._frame_cache.move_to_end(key)

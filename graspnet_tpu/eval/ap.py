@@ -324,8 +324,14 @@ def eval_frame(
     # first-occurrence argmin over squared distances (native.nearest, C++
     # with numpy fallback) — same selection as the former blocked-norm
     # sweep up to sqrt rounding collapsing ~1e-7-relative near-ties, and
-    # ~100x less host time on full composed scenes
-    nearest = native.nearest(centers, scene).astype(np.int64)
+    # ~100x less host time on full composed scenes.  native.nearest casts
+    # to float32 internally; convert here explicitly so the documented
+    # ~1e-7 tolerance is stated at float32 — a float64 caller would
+    # otherwise be silently downcast with a larger selection delta.
+    nearest = native.nearest(
+        np.ascontiguousarray(centers, np.float32),
+        np.ascontiguousarray(scene, np.float32),
+    ).astype(np.int64)
     model_to_grasp = seg[nearest]
 
     # ---- stage 3: top-10 per object, then global top-50 min-score cut ----
