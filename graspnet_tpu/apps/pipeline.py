@@ -62,7 +62,18 @@ class GraspPipeline:
                 self.params = checkpoint.load_torch_checkpoint(checkpoint_path)
             else:
                 template = init_graspnet(jax.random.PRNGKey(seed), cfg)
-                self.params = checkpoint.restore(checkpoint_path, template)
+                # accept both a bare params pytree and the full train state
+                # apps/train.py saves ({params, opt_state, epoch}) — the
+                # reference's train.py -> test.py checkpoint flow
+                # (reference test.py:58-60 loads model_state_dict out of the
+                # same dict train.py:211-219 saved)
+                raw = checkpoint.restore(checkpoint_path)
+                if isinstance(raw, dict) and "params" in raw:
+                    raw = raw["params"]
+                self.params = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(template),
+                    jax.tree_util.tree_leaves(raw),
+                )
         else:
             self.params = init_graspnet(jax.random.PRNGKey(seed), cfg)
 

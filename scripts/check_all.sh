@@ -10,6 +10,8 @@ echo "== slow tier (full suite) =="
 python -m pytest tests/ -q
 echo "== overfit convergence gate (tiny, CPU) =="
 JAX_PLATFORMS=cpu python scripts/overfit_gate.py --tiny
+echo "== end-to-end learnability gate (train -> dump -> AP eval, CPU) =="
+JAX_PLATFORMS=cpu python scripts/learnability_gate.py
 echo "== multi-process trainer check =="
 python scripts/multiproc_check.py
 echo "== multichip dryrun (8 virtual devices) =="
