@@ -320,6 +320,8 @@ class Trainer:
         train=False selects the eval-mode (BN running stats) stage-1 prefix
         so eval epochs also get the compact label path (~100x less traffic).
         """
+        from graspnet_tpu.train.label_pipeline import static_scene_labels
+
         ctxs = batch["label_ctx"]
         small = {
             "point_clouds": batch["point_clouds"],
@@ -331,13 +333,24 @@ class Trainer:
         top, qidx = stage1(
             self.params, device_small["point_clouds"], device_small["sa_inds"]
         )
-        return device_small, ctxs, top, qidx
+        # the top-view-INDEPENDENT label half (grasp points + per-view
+        # stats, ~3.1 of 4.3 MB at the reference shape) gathers and ships
+        # HERE, overlapped with the device's stage-1/step work — only the
+        # matched slabs remain on the post-fetch critical path
+        static = static_scene_labels(ctxs[0], self.cfg) if len(ctxs) == 1 else None
+        if static is None:
+            statics = [static_scene_labels(c, self.cfg) for c in ctxs]
+            static = {k: np.stack([s[k] for s in statics]) for k in statics[0]}
+        else:
+            static = {k: v[None] for k, v in static.items()}
+        device_static = shard_batch(self.mesh, static)
+        return device_small, ctxs, top, qidx, device_static
 
     def _finalize_batch(self, handle):
         """Phase 2 host work: matched labels + global u_max -> device batch."""
-        from graspnet_tpu.train.label_pipeline import finalize_scene_labels
+        from graspnet_tpu.train.label_pipeline import matched_scene_labels
 
-        device_small, ctxs, top, qidx = handle
+        device_small, ctxs, top, qidx, device_static = handle
         if jax.process_count() > 1:
             # only this host's rows are addressable; ctxs holds exactly those
             # scenes (loader feeds process-local rows in shard order)
@@ -359,12 +372,12 @@ class Trainer:
                 )
             matched = list(
                 self._finalize_pool.map(
-                    lambda ic: finalize_scene_labels(ic[1], top_np[ic[0]], self.cfg),
+                    lambda ic: matched_scene_labels(ic[1], top_np[ic[0]], self.cfg),
                     enumerate(ctxs),
                 )
             )
         else:
-            matched = [finalize_scene_labels(ctxs[0], top_np[0], self.cfg)]
+            matched = [matched_scene_labels(ctxs[0], top_np[0], self.cfg)]
         labels = {
             k: np.stack([m[k] for m in matched]) for k in matched[0]
         }
@@ -377,6 +390,7 @@ class Trainer:
             u_max = np.float32(np.max(multihost_utils.process_allgather(u_max)))
         labels["label_u_max"] = u_max
         device_batch = dict(device_small)
+        device_batch.update(device_static)  # shipped during prepare()
         device_batch.update(shard_batch(self.mesh, labels))
         if qidx:
             # stage-1's ball-query indices, already on device with the right
