@@ -59,17 +59,27 @@ def main():
     # frame's (50, 17) result to the host — copy_to_host_async overlaps the
     # transfers with the following frames' compute, so this measures the
     # full produce-and-deliver pipeline, not just the last frame's arrival.
-    k = 30
-    t0 = time.perf_counter()
-    outs = []
-    for _ in range(k):
-        rows, vmask = pipe._infer_topk(pipe.params, x)
-        rows.copy_to_host_async()
-        vmask.copy_to_host_async()
-        outs.append((rows, vmask))
-    results = [(np.asarray(r), np.asarray(v)) for r, v in outs]
-    assert len(results) == k and results[-1][0].shape[-1] == 17
-    drained = (time.perf_counter() - t0) / k
+    # Spread discipline (VERDICT r4 weak #3): the sustained block repeats
+    # R times in this session; the headline value is the MEDIAN run and
+    # the artifact carries every run, so cross-round drift can be
+    # adjudicated against tunnel variance instead of guessed at.
+    k, repeats = 30, 5
+
+    def sustained_once():
+        t0 = time.perf_counter()
+        outs = []
+        for _ in range(k):
+            rows, vmask = pipe._infer_topk(pipe.params, x)
+            rows.copy_to_host_async()
+            vmask.copy_to_host_async()
+            outs.append((rows, vmask))
+        results = [(np.asarray(r), np.asarray(v)) for r, v in outs]
+        assert len(results) == k and results[-1][0].shape[-1] == 17
+        return (time.perf_counter() - t0) / k
+
+    runs = [sustained_once() for _ in range(repeats)]
+    fps_runs = [round(1.0 / d, 1) for d in runs]
+    drained = float(np.median(runs))
     frames_per_s = 1.0 / drained
 
     # (c) legacy last-only number (the r1 metric): submit K, fetch only the
@@ -89,6 +99,11 @@ def main():
         "p50_sync_ms": round(p50 * 1000, 2),
         "drained_ms": round(drained * 1000, 2),
         "pipelined_last_only_ms": round(last_only * 1000, 2),
+        "observed_spread": {
+            "frames_per_s_runs": fps_runs,
+            "min": min(fps_runs),
+            "max": max(fps_runs),
+        },
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
     }

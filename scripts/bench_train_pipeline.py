@@ -166,12 +166,15 @@ def main():
         "datagen_s": round(gen_s, 1),
         "backend": jax.default_backend(),
         "source": "scripts/bench_train_pipeline.py",
-        "note": "per step the compact path pays one top-view device_get plus "
-        "the matched-label device_put (finalize_ms_per_batch INCLUDES that "
-        "put) — through the tunnel each is ~rpc_floor_ms of pure RPC that a "
-        "direct-attached host would not pay; sustained_ex_rpc_ms subtracts "
-        "one floor, the honest direct-attach estimate is "
-        "max(device_step+stage1, host work) + host-side finalize",
+        "note": "per step the compact path pays one top-view device_get; "
+        "finalize_ms_per_batch is the post-fetch critical path (matched-"
+        "slab gather + the ~0.7 MB matched put ENQUEUE) — the top-view-"
+        "independent label half (~3.1 MB) ships during prepare(), "
+        "overlapped with device work (round 5).  Through the tunnel the "
+        "fetch is ~rpc_floor_ms of pure RPC and the sustained number is "
+        "wire-bandwidth bound; sustained_ex_rpc_ms subtracts one floor, "
+        "the honest direct-attach estimate is max(device_step+stage1, "
+        "host work) + host-side finalize",
     }
     print(json.dumps(out))
     if args.out:
