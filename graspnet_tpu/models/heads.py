@@ -246,7 +246,15 @@ def crop_forward(
         # single-device runtime (ADVICE r3 #1)
         from graspnet_tpu.ops.pallas.mlp_train import crop_mlp_train_pallas
 
-        return crop_mlp_train_pallas(params["mlp"], grouped, cfg.bn_eps)
+        # GRASPNET_TRAIN_PRECISION=highest forces exact-f32 matmuls in the
+        # fused train kernel (~3x matmul cost) — the A/B knob behind the
+        # precision-class convergence artifact (perf/precision_ab_r5.json)
+        import os as _os
+
+        return crop_mlp_train_pallas(
+            params["mlp"], grouped, cfg.bn_eps,
+            precision=_os.environ.get("GRASPNET_TRAIN_PRECISION", "default"),
+        )
     out, stats = nn.shared_mlp(params["mlp"], grouped, train=train, eps=cfg.bn_eps)
     pooled = jnp.max(out, axis=3)  # max over nsample -> (B, Ns, D, C)
     return pooled, stats

@@ -98,6 +98,7 @@ def main() -> int:
                 )
             )
             print("OK: overfit gate converged")
+            print(f"trajectory (step, loss, objectness_acc): {hist}")
             return 0
     print(f"trajectory (step, loss, objectness_acc): {hist}")
     print(
