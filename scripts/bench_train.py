@@ -99,7 +99,7 @@ def main():
     import jax.numpy as jnp
     from graspnet_tpu.train.label_pipeline import finalize_scene_labels
 
-    device_small, ctxs2, top, qidx = trainer.prepare(batch)
+    device_small, ctxs2, top, qidx, _static = trainer.prepare(batch)
     top_np = np.asarray(jax.device_get(top))
     matched = [
         finalize_scene_labels(c, top_np[i], cfg) for i, c in enumerate(ctxs2)

@@ -206,8 +206,8 @@ class TestProductionShapeTrain:
         batch = mp.build_local_batch(cfg, 0, 0, 8)
 
         # (a) stage-1 decisions: flips only at sync-BN ULP near-ties
-        small1, ctxs, top1, _ = t1.prepare(batch)
-        _, _, top8, _ = t8.prepare(batch)
+        small1, ctxs, top1, _, _ = t1.prepare(batch)
+        _, _, top8, _, _ = t8.prepare(batch)
         top1_np = np.asarray(jax.device_get(top1))
         top8_np = np.asarray(jax.device_get(top8))
         flips = int((top1_np != top8_np).sum())
