@@ -66,6 +66,49 @@ def sphere_surface(n: int, radius: float) -> np.ndarray:
     return geometry.generate_grasp_views_np(n) * np.float32(radius)
 
 
+def box_surface(
+    n: int, half: np.ndarray, rng: np.random.Generator
+) -> np.ndarray:
+    """(n, 3) area-weighted uniform points on an axis-aligned box surface.
+
+    Thin plates are the ANGLE-discriminating object family: force closure
+    only succeeds with the closing axis through the two parallel thin
+    faces, so the in-plane-angle convention chain (label grid ->
+    angle_cls training -> decode -> evaluator rotation) must be
+    end-to-end consistent for plate grasps to score — spheres alone
+    forgive any angle.
+    """
+    hx, hy, hz = [float(h) for h in half]
+    areas = np.array([hy * hz, hy * hz, hx * hz, hx * hz, hx * hy, hx * hy])
+    face = rng.choice(6, n, p=areas / areas.sum())
+    u = rng.uniform(-1, 1, n)
+    v = rng.uniform(-1, 1, n)
+    pts = np.empty((n, 3), np.float32)
+    for f in range(6):
+        m = face == f
+        axis, sign = f // 2, 1.0 if f % 2 == 0 else -1.0
+        a, b = [i for i in range(3) if i != axis]
+        pts[m, axis] = sign * (hx, hy, hz)[axis]
+        pts[m, a] = u[m] * (hx, hy, hz)[a]
+        pts[m, b] = v[m] * (hx, hy, hz)[b]
+    return pts
+
+
+def _ray_box_z(dirs: np.ndarray, center: np.ndarray, half: np.ndarray):
+    """Per-pixel nearest-hit z for an axis-aligned box (slab method).
+
+    Rays start at the origin with direction `dirs` (dir_z == 1, so the
+    ray parameter IS the camera z).  Returns (H, W) z, +inf where missed.
+    """
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = (center - half) / dirs
+        t2 = (center + half) / dirs
+    tmin = np.minimum(t1, t2).max(axis=-1)
+    tmax = np.maximum(t1, t2).min(axis=-1)
+    hit = (tmax >= tmin) & (tmin > 0)
+    return np.where(hit, tmin, np.inf)
+
+
 def render_sphere_scene(
     centers: np.ndarray,
     radius: float,
@@ -84,6 +127,19 @@ def render_sphere_scene(
     — real depth, background label, like unlabeled clutter in a real
     scene.  `radii` overrides the shared radius per sphere.
     """
+    shapes = [
+        ("sphere", c, radius if radii is None else float(radii[i]))
+        for i, c in enumerate(centers)
+    ]
+    return render_scene(shapes, seg_ids=seg_ids)
+
+
+def render_scene(
+    shapes, seg_ids: Optional[np.ndarray] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Ray-cast a shape list: ("sphere", center, radius) or
+    ("box", center, half_extents).  Nearest hit per pixel wins, else the
+    BG_DEPTH plane; seg id 0 renders real depth with background label."""
     u, v = np.meshgrid(np.arange(W), np.arange(H))
     dirs = np.stack(
         [(u - CX) / FX, (v - CY) / FY, np.ones_like(u, np.float64)], axis=-1
@@ -92,17 +148,22 @@ def render_sphere_scene(
     depth = np.full((H, W), BG_DEPTH, np.float64)
     seg = np.zeros((H, W), np.uint8)
     if seg_ids is None:
-        seg_ids = np.arange(1, len(centers) + 1)
-    if radii is None:
-        radii = np.full(len(centers), radius)
-    for i, c in enumerate(centers):
-        r = float(radii[i])
-        dc = dirs @ c  # (H, W)
-        disc = dc * dc - d2 * (float(c @ c) - r * r)
-        hit = disc > 0
-        t = np.where(hit, (dc - np.sqrt(np.maximum(disc, 0.0))) / d2, np.inf)
-        z = t  # dir_z == 1, so the camera-frame z equals the ray parameter
-        closer = hit & (z > 0) & (z < depth)
+        seg_ids = np.arange(1, len(shapes) + 1)
+    for i, (kind, c, param) in enumerate(shapes):
+        c = np.asarray(c, np.float64)
+        if kind == "sphere":
+            r = float(param)
+            dc = dirs @ c  # (H, W)
+            disc = dc * dc - d2 * (float(c @ c) - r * r)
+            hit = disc > 0
+            z = np.where(
+                hit, (dc - np.sqrt(np.maximum(disc, 0.0))) / d2, np.inf
+            )  # dir_z == 1: the ray parameter IS the camera z
+        elif kind == "box":
+            z = _ray_box_z(dirs, c, np.asarray(param, np.float64))
+        else:
+            raise ValueError(f"unknown shape kind {kind!r}")
+        closer = (z > 0) & (z < depth)
         depth = np.where(closer, z, depth)
         seg = np.where(closer, np.uint8(seg_ids[i]), seg)
     return depth, seg
@@ -286,7 +347,7 @@ def _score_object(
 def make_learnable_dataset(
     root: str,
     cfg: Optional[GraspNetConfig] = None,
-    n_objects: int = 3,
+    n_objects: int = 5,
     n_train_frames: int = 12,
     n_test_frames: int = 2,
     num_label_points: int = 48,
@@ -295,11 +356,19 @@ def make_learnable_dataset(
     width_label: float = 0.04,
     camera: str = "realsense",
     seed: int = 0,
+    object_kinds: Optional[List[str]] = None,
 ) -> str:
     """Write the full on-disk layout under `root`; returns `root`.
 
-    Scenes: scene_0000 (train split, jittered sphere centers per frame)
+    Scenes: scene_0000 (train split, jittered object centers per frame)
     and scene_0100 (test_seen split, nominal centers).
+
+    `object_kinds`: per-object "sphere" | "plate" (default two spheres +
+    one thin plate).  The plate is seen edge-on (thin axis = camera x);
+    force closure only succeeds with the closing axis through its two
+    parallel faces, so the in-plane ANGLE convention chain must be
+    end-to-end consistent for plate grasps to score — the sphere family
+    alone is angle-invariant.
     """
     import scipy.io as scio
     from PIL import Image
@@ -317,38 +386,62 @@ def make_learnable_dataset(
     # best-angle label clears THRESH_BAD (reference loss.py:92-95), and
     # unsupervised channels would otherwise win pred_decode's argmax with
     # their init values
-    nominal = np.array(
-        [[-0.032, -0.022, 0.5], [0.032, -0.022, 0.5], [0.0, 0.03, 0.5]],
-        np.float32,
-    )[:n_objects]
+    # pentagon layout: the eval NMS (translation 0.03 m) collapses each
+    # small object to ~1-3 grasp sites, so the AP ceiling scales with the
+    # number of spatially separated objects — five sites keep the
+    # accuracy-matrix denominators from diluting a healthy model's score
+    ang = np.pi / 2 + 2 * np.pi * np.arange(5) / 5
+    nominal = np.stack(
+        [0.052 * np.cos(ang), 0.052 * np.sin(ang), np.full(5, 0.5)], axis=1
+    ).astype(np.float32)[:n_objects]
     # unlabeled clutter inside the workspace AABB: renders with seg 0
     # (objectness negatives survive the workspace crop), enters the label
     # collision scene, but is NOT an evaluator model
-    distractor_center = np.array([0.0, -0.055, 0.53], np.float32)
+    distractor_center = np.array([0.0, 0.0, 0.53], np.float32)
     distractor_radius = 0.012
 
     os.makedirs(os.path.join(root, "grasp_label"), exist_ok=True)
     os.makedirs(os.path.join(root, "tolerance"), exist_ok=True)
+
+    kinds = (
+        object_kinds
+        or ["sphere", "plate", "sphere", "plate", "sphere"]
+    )[:n_objects]
+    kinds += ["sphere"] * (n_objects - len(kinds))
+    # thin in x, but no thinner than ~3 voxels (MODEL_VOXEL 0.008): the
+    # evaluator's k-NN PCA normals on the 8 mm-voxel model cloud mix BOTH
+    # faces of anything thinner and the cone test sees garbage normals —
+    # found live when 12 mm plate grasps with correctly aligned closing
+    # axes still failed closure
+    plate_half = np.array([0.012, 0.028, 0.025], np.float32)
 
     model_clouds = []  # dense, written to models/ for the evaluator
     score_clouds = []  # MODEL_VOXEL-downsampled, the evaluator's view
     score_normals = []
     label_pts_all = []
     for i in range(n_objects):
-        cloud = sphere_surface(model_points, radius)
+        if kinds[i] == "plate":
+            cloud = box_surface(model_points, plate_half, rng)
+            pts = box_surface(num_label_points, plate_half, rng)
+        else:
+            cloud = sphere_surface(model_points, radius)
+            pts = sphere_surface(num_label_points, radius)
         model_clouds.append(cloud)
         vox = voxel_down_sample(cloud, MODEL_VOXEL)
         score_clouds.append(vox)
         score_normals.append(estimate_normals(vox))
-        # label points are a coarser lattice, rotated per object so the
-        # label grids of different objects are not identical
-        pts = sphere_surface(num_label_points, radius)
-        theta = rng.uniform(0, 2 * np.pi)
-        cz, sz = np.cos(theta), np.sin(theta)
-        rz = np.array(
-            [[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]], np.float32
-        )
-        label_pts_all.append(pts @ rz.T)
+        if kinds[i] == "sphere":
+            # label points are a coarser lattice, rotated per object so the
+            # label grids of different objects are not identical (plates
+            # keep their axis alignment — rotating one would rotate its
+            # graspable thin axis out of the rendered pose)
+            theta = rng.uniform(0, 2 * np.pi)
+            cz, sz = np.cos(theta), np.sin(theta)
+            rz = np.array(
+                [[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]], np.float32
+            )
+            pts = pts @ rz.T
+        label_pts_all.append(pts)
         mdir = os.path.join(root, "models", f"{i:03d}")
         os.makedirs(mdir, exist_ok=True)
         np.savez(os.path.join(mdir, "cloud.npz"), points=cloud)
@@ -393,17 +486,16 @@ def make_learnable_dataset(
             centers = nominal + frng.uniform(
                 -jitter, jitter, nominal.shape
             ).astype(np.float32)
-            all_centers = np.concatenate(
-                [centers, distractor_center[None]], axis=0
-            )
-            depth_m, seg = render_sphere_scene(
-                all_centers,
-                radius,
+            shapes = [
+                ("box", centers[i], plate_half)
+                if kinds[i] == "plate"
+                else ("sphere", centers[i], radius)
+                for i in range(n_objects)
+            ] + [("sphere", distractor_center, distractor_radius)]
+            depth_m, seg = render_scene(
+                shapes,
                 seg_ids=np.concatenate(
                     [np.arange(1, n_objects + 1), [0]]
-                ),
-                radii=np.concatenate(
-                    [np.full(n_objects, radius), [distractor_radius]]
                 ),
             )
             depth_u16 = np.round(depth_m * FACTOR_DEPTH).astype(np.uint16)

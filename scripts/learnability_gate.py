@@ -74,7 +74,10 @@ def main() -> int:
     gen_s = time.time() - t0
     print(f"dataset: {root} ({gen_s:.1f}s); backend: {jax.default_backend()}")
 
-    valid, labels = load_grasp_labels(root, num_objects=3)
+    import glob
+
+    n_obj = len(glob.glob(os.path.join(root, "grasp_label", "*_labels.npz")))
+    valid, labels = load_grasp_labels(root, num_objects=n_obj)
     # augment=True: the reference recipe's flip/rotate augmentation
     # (dataset.py:76-96) — with a tiny model on a tiny dataset it is the
     # difference between memorizing point patterns and generalizing to
