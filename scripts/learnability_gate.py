@@ -19,9 +19,12 @@ out real AP.  This gate closes it:
     python scripts/learnability_gate.py            # CPU, tiny config
     python scripts/learnability_gate.py --steps 400 --bar 10
 
-The absolute bar is calibrated with margin: healthy runs land well above
-it, random init lands near zero (see perf/learnability_r5.json for the
-calibration numbers).
+The absolute bar is calibrated against the observed seed spread of
+HEALTHY runs (seed 0: AP 24.7-26.9; seed 1: 9.6 — layout jitter changes
+how many objects present easy grasps) while random init scores 0.0
+exactly; a convention break between decode/dump/eval zeroes AP, so the
+detection power is the full trained-vs-0 contrast, not the bar margin
+(perf/learnability_r5.json carries the calibration runs).
 """
 
 import argparse
@@ -40,10 +43,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default=None, help="dataset dir (default: tmp)")
     ap.add_argument("--steps", type=int, default=600, help="train step budget")
-    ap.add_argument("--bar", type=float, default=10.0, help="absolute AP bar")
+    ap.add_argument("--bar", type=float, default=6.0, help="absolute AP bar")
     ap.add_argument("--out", default=None, help="write a JSON artifact here")
     ap.add_argument(
         "--keep", action="store_true", help="keep the tmp workdir"
+    )
+    ap.add_argument(
+        "--seed", type=int, default=0,
+        help="dataset + trainer seed (robustness probes)",
     )
     args = ap.parse_args()
 
@@ -70,7 +77,7 @@ def main() -> int:
     root = os.path.join(work, "data")
     t0 = time.time()
     if not os.path.isdir(os.path.join(root, "scenes")):
-        make_learnable_dataset(root, cfg=cfg)
+        make_learnable_dataset(root, cfg=cfg, seed=args.seed)
     gen_s = time.time() - t0
     print(f"dataset: {root} ({gen_s:.1f}s); backend: {jax.default_backend()}")
 
@@ -85,7 +92,7 @@ def main() -> int:
     ds = GraspNetDataset(
         root, valid, labels, camera="realsense", split="train",
         num_points=cfg.num_point, remove_outlier=True, load_label=True,
-        cfg=cfg, augment=True,
+        cfg=cfg, augment=True, seed=args.seed,
     )
     # batch 4 = the whole fixed frame set: per-step batch statistics are
     # constant, so the BN running stats can converge exactly to them.
@@ -98,7 +105,8 @@ def main() -> int:
     # reference converges because its floor applies across ~47k steps.
     bs = min(4, len(ds))
     trainer = Trainer(
-        cfg=cfg, tc=TrainConfig(batch_size=bs, bn_momentum_min=0.05), seed=0
+        cfg=cfg, tc=TrainConfig(batch_size=bs, bn_momentum_min=0.05),
+        seed=args.seed
     )
     loader = DataLoader(ds, bs, shuffle=True, num_workers=2)
 
